@@ -1,0 +1,358 @@
+"""Rank-Select Quotient Filter rebuilt as a mergeable, vectorized state.
+
+Semantics reproduce arthurprs/qfilter's ``Filter`` (/root/reference/src/lib.rs)
+— NOT its implementation. The key structural fact (SURVEY.md §1.1): the
+reference's physical RSQF state is a pure function of its *sorted fingerprint
+multiset* (grow src/lib.rs:1365-1377, shrink src/lib.rs:1311-1328 and merge
+src/lib.rs:1343-1352 all rebuild by re-inserting the ascending fingerprint
+stream). We therefore keep the **canonical sorted fingerprint multiset** as
+the logical state (a sorted ``np.uint64`` array), which makes every operation
+a vectorized array kernel and makes merge a k-way sorted merge — associative,
+commutative, and order-independent, exactly what a distributed aggregation
+state needs.
+
+The reference's physical blocked layout (64-slot blocks, offset byte,
+occupieds/runends bitvectors, bit-packed remainders — src/lib.rs:468-486,
+570-572) is preserved as the at-rest serialization format, built/decoded with
+vectorized rank/select kernels in :mod:`qfilter_spark.blocks`.
+
+API parity map (reference file:line):
+- new / new_resizeable / with_fingerprint_size: src/lib.rs:392-466
+- insert / insert_duplicated / insert_counting: src/lib.rs:1131-1171
+- insert_fingerprint(_counting): src/lib.rs:1183-1214
+- contains(_fingerprint) / count(_fingerprint): src/lib.rs:972-1018
+- remove(_fingerprint): src/lib.rs:1056-1129
+- merge: src/lib.rs:1330-1352; grow: src/lib.rs:1354-1377;
+  shrink_to_fit: src/lib.rs:1311-1328
+- fingerprints(): src/lib.rs:1304-1309 (ascending order)
+- capacity math and error ratios: src/lib.rs:530-567
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import params
+from .errors import CapacityExceeded, IncompatibleFingerprintSize
+from .hashing import hash_obj
+
+_U64_MAX = (1 << 64) - 1
+
+_HEADER = struct.Struct("<4sBBBBQ")  # magic, version, qbits, rbits, max_qbits(0=None), len
+_MAGIC = b"QFSK"
+_FMT_FPS = 1
+_FMT_BLOCKS = 2
+
+
+class Filter:
+    """A quotient filter over 64-bit hashes with counting and merge support."""
+
+    __slots__ = ("qbits", "rbits", "max_qbits", "_fps")
+
+    # ------------------------------------------------------------------
+    # constructors (src/lib.rs:392-466)
+    # ------------------------------------------------------------------
+    def __init__(self, qbits: int, rbits: int, max_qbits: int | None = None,
+                 fps: np.ndarray | None = None):
+        if qbits < 1 or rbits < 1 or qbits + rbits > 64:
+            from .errors import NotEnoughFingerprintBits
+            raise NotEnoughFingerprintBits(f"invalid qbits={qbits} rbits={rbits}")
+        self.qbits = qbits
+        self.rbits = rbits
+        self.max_qbits = max_qbits
+        self._fps = np.empty(0, dtype=np.uint64) if fps is None else fps
+
+    @classmethod
+    def new(cls, capacity: int, fp_rate: float) -> "Filter":
+        return cls.new_resizeable(capacity, capacity, fp_rate)
+
+    @classmethod
+    def new_resizeable(cls, initial_capacity: int, max_capacity: int,
+                       fp_rate: float) -> "Filter":
+        q, r, mq = params.resizeable_params(initial_capacity, max_capacity, fp_rate)
+        return cls(q, r, mq)
+
+    @classmethod
+    def with_fingerprint_size(cls, initial_capacity: int, fingerprint_bits: int) -> "Filter":
+        q, r, mq = params.fingerprint_size_params(initial_capacity, fingerprint_bits)
+        return cls(q, r, mq)
+
+    # ------------------------------------------------------------------
+    # accessors (src/lib.rs:501-567)
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return int(self._fps.size)
+
+    @property
+    def is_empty(self) -> bool:
+        return self._fps.size == 0
+
+    def fingerprint_size(self) -> int:
+        return self.qbits + self.rbits
+
+    def total_buckets(self) -> int:
+        return 1 << self.qbits
+
+    def total_blocks(self) -> int:
+        return (1 << self.qbits) // 64 if self.qbits >= 6 else 1
+
+    def capacity(self) -> int:
+        return params.capacity_for(self.qbits)
+
+    def capacity_resizeable(self) -> int:
+        return params.capacity_for(self.max_qbits if self.max_qbits is not None else self.qbits)
+
+    def max_error_ratio(self) -> float:
+        return 2.0 ** (-self.rbits)
+
+    def max_error_ratio_resizeable(self) -> float:
+        extra = (self.max_qbits if self.max_qbits is not None else self.qbits) - self.qbits
+        return 2.0 ** (-(self.rbits - extra))
+
+    def current_error_ratio(self) -> float:
+        occupancy = len(self) / self.total_buckets()
+        return 1.0 - np.e ** (-occupancy / 2.0 ** self.rbits)
+
+    def memory_usage(self) -> int:
+        """Bytes of the reference block layout at current qbits/rbits.
+
+        (1 offset + 8 occupieds + 8 runends + 64*rbits/8 remainder bytes per
+        64-slot block; src/lib.rs:476, 570-572.)
+        """
+        return self.total_blocks() * (17 + 8 * self.rbits)
+
+    def clear(self) -> None:
+        self._fps = np.empty(0, dtype=np.uint64)
+
+    # ------------------------------------------------------------------
+    # fingerprints
+    # ------------------------------------------------------------------
+    def _fp_mask(self) -> np.uint64:
+        fs = self.fingerprint_size()
+        return np.uint64(_U64_MAX if fs >= 64 else (1 << fs) - 1)
+
+    def fingerprints(self) -> np.ndarray:
+        """Stored fingerprints, ascending (src/lib.rs:1304-1309)."""
+        return self._fps.copy()
+
+    def calc_qr(self, hash_: int) -> tuple[int, int]:
+        bucket = (hash_ >> self.rbits) & ((1 << self.qbits) - 1)
+        rem = hash_ & ((1 << self.rbits) - 1)
+        return bucket, rem
+
+    def hash(self, item) -> int:
+        return hash_obj(item)
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def contains(self, item) -> bool:
+        return self.contains_fingerprint(self.hash(item))
+
+    def contains_fingerprint(self, hash_: int) -> bool:
+        return bool(self.count_fingerprint(hash_) > 0)
+
+    def count(self, item) -> int:
+        return self.count_fingerprint(self.hash(item))
+
+    def count_fingerprint(self, hash_: int) -> int:
+        fp = np.uint64(hash_ & int(self._fp_mask()))
+        lo = np.searchsorted(self._fps, fp, side="left")
+        hi = np.searchsorted(self._fps, fp, side="right")
+        return int(hi - lo)
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership for a uint64 hash column."""
+        return self.count_hashes(hashes) > 0
+
+    def count_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
+        lo = np.searchsorted(self._fps, fps, side="left")
+        hi = np.searchsorted(self._fps, fps, side="right")
+        return (hi - lo).astype(np.int64)
+
+    # ------------------------------------------------------------------
+    # single-item mutations (src/lib.rs:1131-1214)
+    # ------------------------------------------------------------------
+    def insert(self, item) -> bool:
+        return self.insert_counting(1, item) == 0
+
+    def insert_duplicated(self, item) -> None:
+        self.insert_counting(_U64_MAX, item)
+
+    def insert_counting(self, max_count: int, item) -> int:
+        hash_ = self.hash(item)
+        return self.insert_fingerprint_counting(max_count, hash_)
+
+    def insert_fingerprint(self, duplicate: bool, hash_: int) -> bool:
+        max_count = _U64_MAX if duplicate else 1
+        return self.insert_fingerprint_counting(max_count, hash_) < max_count
+
+    def insert_fingerprint_counting(self, max_count: int, hash_: int) -> int:
+        try:
+            return self._insert_one(max_count, hash_)
+        except CapacityExceeded:
+            self._grow_if_possible()
+            return self._insert_one(max_count, hash_)
+
+    def _insert_one(self, max_count: int, hash_: int) -> int:
+        fp = np.uint64(hash_ & int(self._fp_mask()))
+        lo = int(np.searchsorted(self._fps, fp, side="left"))
+        hi = int(np.searchsorted(self._fps, fp, side="right"))
+        count = hi - lo
+        if count >= max_count:
+            return count
+        if len(self) >= self.capacity():
+            raise CapacityExceeded(f"len {len(self)} >= capacity {self.capacity()}")
+        self._fps = np.insert(self._fps, lo, fp)
+        return count
+
+    def remove(self, item) -> bool:
+        return self.remove_fingerprint(self.hash(item))
+
+    def remove_fingerprint(self, hash_: int) -> bool:
+        """Delete one occurrence of the fingerprint if present.
+
+        Same caveat as the reference (src/lib.rs:1056-1061): removing an item
+        that was never inserted may delete a colliding fingerprint and create
+        a false negative.
+        """
+        fp = np.uint64(hash_ & int(self._fp_mask()))
+        lo = int(np.searchsorted(self._fps, fp, side="left"))
+        if lo >= len(self) or self._fps[lo] != fp:
+            return False
+        self._fps = np.delete(self._fps, lo)
+        return True
+
+    # ------------------------------------------------------------------
+    # batch mutations (vectorized; the distributed hot path)
+    # ------------------------------------------------------------------
+    def insert_hashes(self, hashes: np.ndarray, max_count: int = _U64_MAX,
+                      auto_grow: bool = True) -> int:
+        """Insert a uint64 hash column; returns number of fingerprints admitted.
+
+        Sequential-equivalent semantics: identical final state to calling
+        ``insert_fingerprint_counting(max_count, h)`` for each hash in order
+        (multiset result is order-independent given the cap). On overflow the
+        filter grows while allowed; if still over capacity, the longest
+        admissible prefix is applied and :class:`CapacityExceeded` is raised
+        (mirrors merge's partial-failure doc, src/lib.rs:1340-1342).
+        """
+        fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
+        if fps.size == 0:
+            return 0
+        if max_count >= _U64_MAX:
+            admit = np.ones(fps.size, dtype=bool)
+            n_admit = fps.size
+        else:
+            # multiplicity of each incoming fp among *earlier* incoming equals
+            order = np.argsort(fps, kind="stable")
+            sorted_fps = fps[order]
+            new_group = np.empty(fps.size, dtype=bool)
+            new_group[0] = True
+            np.not_equal(sorted_fps[1:], sorted_fps[:-1], out=new_group[1:])
+            group_start = np.maximum.accumulate(np.where(new_group, np.arange(fps.size), 0))
+            cumcount_sorted = np.arange(fps.size) - group_start
+            cumcount = np.empty(fps.size, dtype=np.int64)
+            cumcount[order] = cumcount_sorted
+            existing = self.count_hashes(fps)
+            admit = existing + cumcount < max_count
+            n_admit = int(admit.sum())
+
+        while len(self) + n_admit > self.capacity():
+            if auto_grow and self.max_qbits is not None and self.max_qbits > self.qbits:
+                self.grow()
+            else:
+                # admit the longest prefix that fits, then fail
+                room = self.capacity() - len(self)
+                cum = np.cumsum(admit)
+                cutoff = int(np.searchsorted(cum, room, side="right"))
+                if cutoff > 0:
+                    self._bulk_add(fps[:cutoff][admit[:cutoff]])
+                raise CapacityExceeded(
+                    f"admitting {n_admit} would exceed capacity {self.capacity()}")
+        self._bulk_add(fps[admit])
+        return n_admit
+
+    def _bulk_add(self, fps: np.ndarray) -> None:
+        if fps.size == 0:
+            return
+        merged = np.concatenate([self._fps, fps])
+        merged.sort(kind="stable")
+        self._fps = merged
+
+    # ------------------------------------------------------------------
+    # merge / grow / shrink (src/lib.rs:1311-1377)
+    # ------------------------------------------------------------------
+    def merge(self, keep_duplicates: bool, other: "Filter") -> None:
+        """Merge ``other`` into ``self`` (src/lib.rs:1330-1352).
+
+        ``other`` must have fingerprint size >= ours; its fingerprints are
+        truncated to our fingerprint size (low bits are a stable prefix).
+        Does NOT auto-grow (the reference calls insert_impl directly); on
+        CapacityExceeded the filter is left valid but full.
+        """
+        if other.fingerprint_size() < self.fingerprint_size():
+            raise IncompatibleFingerprintSize(
+                f"other fp size {other.fingerprint_size()} < self {self.fingerprint_size()}")
+        max_count = _U64_MAX if keep_duplicates else 1
+        self.insert_hashes(other._fps, max_count=max_count, auto_grow=False)
+
+    def _grow_if_possible(self) -> None:
+        if self.max_qbits is not None and self.max_qbits > self.qbits:
+            self.grow()
+        else:
+            raise CapacityExceeded("filter is full and cannot grow")
+
+    def grow(self) -> None:
+        """qbits+1 / rbits-1: fingerprint size invariant, FPR doubles
+        (src/lib.rs:1365-1377, doc src/lib.rs:420-423). A canonical-form
+        no-op on the fingerprint multiset."""
+        assert self.rbits > 1, "cannot grow with rbits == 1"
+        self.qbits += 1
+        self.rbits -= 1
+
+    def shrink_to_fit(self) -> None:
+        """qbits-1 / rbits+1 when at most half full (src/lib.rs:1311-1328)."""
+        if self.total_blocks() > 1 and len(self) <= self.capacity() // 2:
+            self.qbits -= 1
+            self.rbits += 1
+
+    # ------------------------------------------------------------------
+    # serialization
+    # ------------------------------------------------------------------
+    def to_bytes(self, fmt: str = "blocks") -> bytes:
+        """Serialize. ``blocks`` = reference physical layout (offset byte +
+        occupieds + runends + packed remainders per 64-slot block);
+        ``fps`` = raw sorted uint64 fingerprints (wire format for merges)."""
+        mq = 0 if self.max_qbits is None else self.max_qbits
+        if fmt == "fps":
+            head = _HEADER.pack(_MAGIC, _FMT_FPS, self.qbits, self.rbits, mq, len(self))
+            return head + self._fps.tobytes()
+        if fmt == "blocks":
+            from . import blocks
+            head = _HEADER.pack(_MAGIC, _FMT_BLOCKS, self.qbits, self.rbits, mq, len(self))
+            return head + blocks.encode(self._fps, self.qbits, self.rbits)
+        raise ValueError(f"unknown format {fmt!r}")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "Filter":
+        magic, fmt, q, r, mq, n = _HEADER.unpack_from(data, 0)
+        if magic != _MAGIC:
+            raise ValueError("bad magic")
+        payload = data[_HEADER.size:]
+        if fmt == _FMT_FPS:
+            fps = np.frombuffer(payload, dtype=np.uint64, count=n).copy()
+        elif fmt == _FMT_BLOCKS:
+            from . import blocks
+            fps = blocks.decode(payload, q, r, n)
+        else:
+            raise ValueError(f"unknown format byte {fmt}")
+        return cls(q, r, mq if mq else None, fps)
+
+    def __repr__(self) -> str:
+        return (f"Filter(qbits={self.qbits}, rbits={self.rbits}, "
+                f"max_qbits={self.max_qbits}, len={len(self)}, "
+                f"capacity={self.capacity()})")
