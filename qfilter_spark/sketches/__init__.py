@@ -1,0 +1,32 @@
+"""Mergeable sketch states (numpy) with a common binary codec.
+
+north_rule inventory: RSQF (qfilter_spark.rsqf), Bloom, HLL, count-min,
+KLL, t-digest — all associative/commutative merges (SURVEY.md §2.3).
+"""
+
+from .base import KIND_NAMES, loads
+from .bloom import BloomFilter
+from .cms import CountMinSketch
+from .hll import HllSketch
+from .kll import KllSketch
+from .rsqf_adapter import RsqfSketch
+from .tdigest import TDigest
+
+
+def create(kind: str, **params):
+    """Factory: create('hll', p=14), create('rsqf', capacity=..., fp_rate=...)."""
+    cls = {
+        "rsqf": RsqfSketch,
+        "bloom": BloomFilter,
+        "hll": HllSketch,
+        "cms": CountMinSketch,
+        "kll": KllSketch,
+        "tdigest": TDigest,
+    }[kind]
+    return cls.create(**params)
+
+
+__all__ = [
+    "BloomFilter", "CountMinSketch", "HllSketch", "KllSketch",
+    "RsqfSketch", "TDigest", "loads", "create", "KIND_NAMES",
+]

@@ -1,0 +1,71 @@
+"""RSQF Filter wrapped in the common sketch protocol.
+
+Makes the quotient filter usable by the generic distributed aggregation in
+:mod:`qfilter_spark.dist.agg` alongside the sibling sketches. Distributed
+semantics: every partial filter is created with the same (capacity, fp_rate)
+parameters — hence identical fingerprint size — so merges are always
+compatible (reference compatibility rule: src/lib.rs:1343-1346).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from ..rsqf import Filter
+from .base import KIND_RSQF, frame, register
+
+_HDR = struct.Struct("<?")  # keep_duplicates
+
+
+class RsqfSketch:
+    kind = "rsqf"
+
+    def __init__(self, filter_: Filter, keep_duplicates: bool = True):
+        self.filter = filter_
+        self.keep_duplicates = keep_duplicates
+
+    @classmethod
+    def create(cls, capacity: int, fp_rate: float = 0.01,
+               keep_duplicates: bool = True, resizeable_from: int | None = None,
+               ) -> "RsqfSketch":
+        if resizeable_from is not None:
+            f = Filter.new_resizeable(resizeable_from, capacity, fp_rate)
+        else:
+            f = Filter.new(capacity, fp_rate)
+        return cls(f, keep_duplicates)
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        max_count = (1 << 64) - 1 if self.keep_duplicates else 1
+        self.filter.insert_hashes(np.asarray(hashes, dtype=np.uint64),
+                                  max_count=max_count)
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.contains_hashes(hashes)
+
+    def count_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        return self.filter.count_hashes(hashes)
+
+    def merge(self, other: "RsqfSketch") -> None:
+        # tree-merge may need headroom: grow the target first if the combined
+        # multiset cannot fit (merge itself never grows; src/lib.rs:1343-1352)
+        need = len(self.filter) + (len(other.filter) if self.keep_duplicates
+                                   else len(other.filter))
+        while (need > self.filter.capacity()
+               and self.filter.max_qbits is not None
+               and self.filter.max_qbits > self.filter.qbits):
+            self.filter.grow()
+        self.filter.merge(self.keep_duplicates, other.filter)
+
+    def to_bytes(self) -> bytes:
+        return frame(KIND_RSQF, _HDR.pack(self.keep_duplicates)
+                     + self.filter.to_bytes(fmt="blocks"))
+
+    @classmethod
+    def _decode(cls, payload: bytes) -> "RsqfSketch":
+        (keep,) = _HDR.unpack_from(payload, 0)
+        return cls(Filter.from_bytes(payload[_HDR.size:]), keep)
+
+
+register(KIND_RSQF)(RsqfSketch._decode)
