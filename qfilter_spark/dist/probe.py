@@ -1,0 +1,51 @@
+"""Probing a built sketch from a DataFrame column.
+
+The final sketch blob is broadcast once per job (SURVEY.md §3.2: "broadcast
+final sketch; probe via searchsorted"); each task decodes it once and probes
+whole Arrow batches vectorized. Analogous to Spark's own
+``might_contain(bloom, col)`` but for every sketch kind here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
+                 as_bool: bool = False):
+    """Append ``out_col`` = sketch count/membership of ``hash_col`` (int64).
+
+    Works for rsqf (count), bloom (membership), cms (count estimate).
+    """
+    import pyarrow as pa
+
+    from .. import sketches
+
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast(blob)
+    out_type = "boolean" if as_bool else "long"
+    schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_col} {out_type}"
+
+    def run(batches):
+        sk = sketches.loads(b.value)
+        for batch in batches:
+            h = batch.column(hash_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            if as_bool:
+                if hasattr(sk, "contains_hashes"):
+                    vals = sk.contains_hashes(h)
+                else:
+                    vals = sk.estimate_hashes(h) > 0
+                col = pa.array(np.asarray(vals, dtype=bool))
+            else:
+                if hasattr(sk, "count_hashes"):
+                    vals = sk.count_hashes(h)
+                elif hasattr(sk, "estimate_hashes"):
+                    vals = sk.estimate_hashes(h)
+                else:
+                    vals = sk.contains_hashes(h).astype(np.int64)
+                col = pa.array(np.asarray(vals, dtype=np.int64))
+            arrays = [batch.column(i) for i in range(batch.num_columns)] + [col]
+            yield pa.record_batch(arrays, names=list(batch.schema.names) + [out_col])
+
+    return df.mapInArrow(run, schema)

@@ -1,0 +1,261 @@
+"""Distributed pipeline tests (FIXTURES.md F4): partial build + tree merge,
+merge-order invariance, salted skew handling, checkpoint resume, and
+single-node parity — on a local[2] SparkSession over the F1 corpus.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from qfilter_spark import Filter, corpus
+from qfilter_spark.dist import (
+    SketchSpec,
+    build_grouped_sketches,
+    build_sketch,
+    partial_sketches,
+    tree_merge,
+)
+from qfilter_spark.dist.checkpoint import MergeLineage, resume_tree_merge
+from qfilter_spark.dist.probe import probe_hashes
+from qfilter_spark.functions.ngrams import ngram_hashes
+from qfilter_spark.hashing import xxh64_str, xxh64_u64_chain
+from qfilter_spark import sketches
+
+N_DOCS = 1000  # F1 t1 smoke scale
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pyspark.sql import SparkSession
+    s = (SparkSession.builder.master("local[2]")
+         .appName("qfilter-spark-tests")
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.adaptive.enabled", "true")
+         .getOrCreate())
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "t1")
+    corpus.write_corpus(path, N_DOCS, rows_per_file=250)
+    return path
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_dir):
+    df = spark.read.parquet(corpus_dir).repartition(8)
+    df.cache().count()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# corpus determinism + per-row token equality (input_hint invariant)
+# ---------------------------------------------------------------------------
+
+def test_corpus_row_reproducible(corpus_df):
+    rows = corpus_df.where("doc_id = 'doc-000000000007'").collect()
+    assert len(rows) == 1
+    _, want_tokens, want_n, want_source = corpus.gen_doc(7)
+    row = rows[0]
+    assert row["n_tok"] == want_n
+    assert row["source"] == want_source
+    assert np.array_equal(np.array(row["tokens"], dtype=np.int32), want_tokens)
+
+
+def test_corpus_distributed_generation_identical(spark, corpus_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("corpus") / "dist")
+    corpus.write_corpus_distributed(spark, path, 200, n_partitions=4)
+    got = {r["doc_id"]: (r["tokens"], r["source"])
+           for r in spark.read.parquet(path).collect()}
+    assert len(got) == 200
+    for i in [0, 7, 199]:
+        d, t, n, s = corpus.gen_doc(i)
+        assert got[d][1] == s
+        assert list(got[d][0]) == t.tolist()
+
+
+def test_corpus_skew(corpus_df):
+    counts = {r["source"]: r["cnt"] for r in
+              corpus_df.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+    top = max(counts.values()) / N_DOCS
+    assert 0.40 <= top <= 0.55, counts  # F1: top source ~45-50%
+
+
+# ---------------------------------------------------------------------------
+# hash parity: JVM xxhash64 == numpy kernels (live check)
+# ---------------------------------------------------------------------------
+
+def test_ngram_hash_parity_with_jvm(spark, corpus_df):
+    from pyspark.sql import functions as F
+    # JVM side: posexplode 3-grams of one doc, chain-hash as longs
+    doc = corpus_df.where("doc_id = 'doc-000000000003'")
+    jvm = (doc.select(F.posexplode("tokens").alias("p", "t"))
+           .withColumn("t1", F.lead("t", 1).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("p")))
+           .withColumn("t2", F.lead("t", 2).over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("p")))
+           .dropna()
+           .select(F.xxhash64(F.col("t").cast("long"), F.col("t1").cast("long"),
+                              F.col("t2").cast("long")).alias("h"))
+           .collect())
+    jvm_hashes = np.array(sorted(r["h"] for r in jvm), dtype=np.int64)
+    _, tokens, _, _ = corpus.gen_doc(3)
+    flat = tokens.astype(np.int64)
+    offsets = np.array([0, flat.size], dtype=np.int64)
+    mine = np.sort(ngram_hashes(flat, offsets, 3).view(np.int64))
+    assert np.array_equal(jvm_hashes, mine)
+
+
+def test_string_hash_parity_with_jvm(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("doc-000000000001",), ("héllo ✓",)], "s: string")
+    got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+    want = [int(np.int64(np.uint64(xxh64_str(s)))) for s in ["doc-000000000001", "héllo ✓"]]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distributed build + probe + single-node parity (F4)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="session")
+def ngram_spec():
+    return SketchSpec(kind="rsqf",
+                      params=dict(capacity=1 << 21, fp_rate=0.01,
+                                  resizeable_from=1 << 12),
+                      mode="tokens_ngram", col="tokens", ngram_n=3)
+
+
+@pytest.fixture(scope="session")
+def built_blob(corpus_df, ngram_spec):
+    return build_sketch(corpus_df, ngram_spec, fan_in=4)
+
+
+def test_distributed_equals_single_node(corpus_df, ngram_spec, built_blob):
+    # single-node reference: same corpus through the numpy path
+    cols = corpus.gen_range(0, N_DOCS)
+    flat = np.concatenate([t.astype(np.int64) for t in cols["tokens"]])
+    offsets = np.concatenate([[0], np.cumsum([len(t) for t in cols["tokens"]])])
+    hashes = ngram_hashes(flat, offsets, 3)
+    single = ngram_spec.make()
+    single.update_hashes(hashes)
+
+    dist = sketches.loads(built_blob)
+    assert len(dist.filter) == len(single.filter) == hashes.size
+    assert np.array_equal(dist.filter.fingerprints(), single.filter.fingerprints())
+
+
+def test_probe_no_false_negatives(spark, corpus_df, built_blob):
+    from pyspark.sql import functions as F
+    # probe a sample of present n-grams via the DF API
+    cols = corpus.gen_range(0, 50)
+    flat = np.concatenate([t.astype(np.int64) for t in cols["tokens"]])
+    offsets = np.concatenate([[0], np.cumsum([len(t) for t in cols["tokens"]])])
+    present = ngram_hashes(flat, offsets, 3).view(np.int64)
+    df = spark.createDataFrame([(int(h),) for h in present[:5000]], "h: long")
+    probed = probe_hashes(df, built_blob, "h", out_col="c")
+    assert probed.where("c <= 0").count() == 0
+
+
+def test_probe_fpr_bound(spark, built_blob):
+    rng = np.random.default_rng(0)
+    absent = rng.integers(-2**63, 2**63, size=50_000, dtype=np.int64)
+    df = spark.createDataFrame([(int(h),) for h in absent], "h: long")
+    hits = probe_hashes(df, built_blob, "h", out_col="c", as_bool=True) \
+        .where("c").count()
+    sk = sketches.loads(built_blob)
+    bound = sk.filter.max_error_ratio()
+    assert hits / 50_000 <= bound, (hits / 50_000, bound)
+
+
+def test_merge_order_invariance_distributed(spark, corpus_df, ngram_spec):
+    """F4: permuted merge orders / tree shapes -> identical blobs."""
+    parts = partial_sketches(corpus_df, ngram_spec).collect()
+    payloads = [bytes(r["payload"]) for r in parts]
+
+    def reduce_in_order(order, fan_in):
+        blobs = [payloads[i] for i in order]
+        while len(blobs) > 1:
+            grouped = [blobs[i:i + fan_in] for i in range(0, len(blobs), fan_in)]
+            nxt = []
+            for g in grouped:
+                acc = sketches.loads(g[0])
+                for other in g[1:]:
+                    acc.merge(sketches.loads(other))
+                nxt.append(acc.to_bytes())
+            blobs = nxt
+        return blobs[0]
+
+    ref = reduce_in_order(range(len(payloads)), 4)
+    rng = np.random.default_rng(1)
+    for trial in range(3):
+        perm = rng.permutation(len(payloads))
+        fan = [2, 3, 8][trial]
+        assert reduce_in_order(perm, fan) == ref
+
+
+def test_tree_merge_with_lineage_and_resume(spark, corpus_df, ngram_spec, tmp_path):
+    ckpt = str(tmp_path / "lineage")
+    parts = partial_sketches(corpus_df, ngram_spec)
+    lineage = MergeLineage(spark, ckpt)
+    blob = tree_merge(parts, fan_in=2, lineage=lineage, n_partials=8)
+    rounds = lineage.complete_rounds()
+    assert len(rounds) >= 3  # 8 -> 4 -> 2 -> 1 with fan_in=2
+    # metrics present
+    m = lineage.metrics(rounds[0])
+    assert all("n_items" in r and "build_secs" in r for r in m)
+    # simulate a crash after round 1: wipe later rounds, resume
+    for rnd in rounds[2:]:
+        shutil.rmtree(os.path.join(ckpt, f"round={rnd}"))
+    resumed = resume_tree_merge(spark, ckpt, fan_in=2)
+    assert resumed == blob
+
+
+def test_grouped_sketches_with_salting(spark, corpus_df):
+    from pyspark.sql import functions as F
+    spec = SketchSpec(kind="hll", params=dict(p=12), mode="hash_col", col="h")
+    df = corpus_df.withColumn("h", F.xxhash64("doc_id"))
+    per_source = build_grouped_sketches(df, "source", spec, n_salts=4)
+    rows = per_source.collect()
+    truth = {r["source"]: r["cnt"] for r in
+             corpus_df.groupBy("source").agg(F.countDistinct("doc_id").alias("cnt")).collect()}
+    assert {r["source"] for r in rows} == set(truth)
+    for r in rows:
+        est = sketches.loads(bytes(r["payload"])).estimate()
+        true = truth[r["source"]]
+        assert abs(est - true) <= max(4 * 1.04 / np.sqrt(4096) * true, 3), (r["source"], est, true)
+        assert r["n_items"] == true  # doc_ids unique per source
+
+
+def test_grouped_rsqf_equals_unsalted(spark, corpus_df):
+    """F4 skew fixture: salted result == unsalted result, per group."""
+    from pyspark.sql import functions as F
+    spec = SketchSpec(kind="rsqf", params=dict(capacity=1 << 13, fp_rate=0.01),
+                      mode="hash_col", col="h")
+    df = corpus_df.withColumn("h", F.xxhash64("doc_id"))
+    salted = {r["source"]: bytes(r["payload"]) for r in
+              build_grouped_sketches(df, "source", spec, n_salts=4).collect()}
+    unsalted = {r["source"]: bytes(r["payload"]) for r in
+                build_grouped_sketches(df, "source", spec, n_salts=1).collect()}
+    assert salted.keys() == unsalted.keys()
+    for src in salted:
+        a = sketches.loads(salted[src]).filter.fingerprints()
+        b = sketches.loads(unsalted[src]).filter.fingerprints()
+        assert np.array_equal(a, b), src
+
+
+def test_quantile_sketch_distributed(spark, corpus_df):
+    spec = SketchSpec(kind="kll", params=dict(k=200), mode="values", col="n_tok")
+    blob = build_sketch(corpus_df, spec, fan_in=4)
+    sk = sketches.loads(blob)
+    true = np.sort(np.array([corpus.gen_doc(i)[2] for i in range(N_DOCS)]))
+    assert sk.n == N_DOCS
+    for q in [0.1, 0.5, 0.9]:
+        est = sk.quantile(q)
+        rank = np.searchsorted(true, est, side="right") / N_DOCS
+        assert abs(rank - q) <= 0.05, (q, est, rank)
