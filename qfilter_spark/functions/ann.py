@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — exact brute force: the query matrix is broadcast,
+  each partition scores its vectors against all queries in one numpy GEMM
+  (float64), keeps a local top-k, and a final window takes the global top-k.
+  At scale this is scan-bound: no shuffle wider than (query, id, score) * k
+  per partition.
+- :func:`lsh_topk` — random-hyperplane LSH: seeded signed projections give
+  each vector ``n_tables`` bucket keys; candidates share a bucket with the
+  query in any table; candidates are re-ranked exactly. The bucket join is
+  an equi-join on (table, key) — Catalyst broadcast-joins the (tiny) query
+  bucket side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+LSH_SEED = 20240601
+
+
+def _emb_matrix(batch, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if hasattr(arr, "combine_chunks"):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy().astype(np.int64)
+    start = offsets[0]
+    flat = arr.values.to_numpy().astype(np.float64)[start:offsets[-1]]
+    dim = int(offsets[1] - offsets[0]) if len(arr) else 0
+    return flat.reshape(len(arr), dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def cosine_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
+                k: int = 10, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rank), rank 1-based.
+
+    Ties broken by neighbor id ascending (deterministic).
+    """
+    import pyarrow as pa
+
+    spark = emb_df.sparkSession
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    b = spark.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        qi, qm = b.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_emb_matrix(batch, emb_col))
+            scores = m @ qm.T  # (n, nq)
+            kk = min(k, ids.size)
+            # local top-k per query (sorted by -score then id)
+            for j in range(qi.size):
+                order = np.lexsort((ids, -scores[:, j]))[:kk]
+                yield pa.record_batch([
+                    pa.array(np.full(kk, qi[j]), pa.int64()),
+                    pa.array(ids[order], pa.int64()),
+                    pa.array(scores[order, j], pa.float64()),
+                ], names=["query_id", "neighbor_id", "score"])
+
+    local = emb_df.select(id_col, emb_col).mapInArrow(
+        score, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))
+
+
+def lsh_signatures(emb_df: DataFrame, n_tables: int = 16, n_bits: int = 4,
+                   dim: int = 64, id_col: str = "vec_id",
+                   emb_col: str = "embedding") -> DataFrame:
+    """(id, table, key): one bucket key per hash table (seeded hyperplanes)."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(LSH_SEED)
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    spark = emb_df.sparkSession
+    b = spark.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    def sign(batches):
+        pl = b.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _emb_matrix(batch, emb_col)
+            n = ids.size
+            tables, keys = [], []
+            for t in range(pl.shape[0]):
+                bits = (m @ pl[t].T) > 0  # (n, n_bits)
+                key = bits.astype(np.int64) @ weights
+                tables.append(np.full(n, t, dtype=np.int32))
+                keys.append(key)
+            yield pa.record_batch([
+                pa.array(np.tile(ids, pl.shape[0]), pa.int64()),
+                pa.array(np.concatenate(tables), pa.int32()),
+                pa.array(np.concatenate(keys), pa.int64()),
+            ], names=["vec_id", "table", "key"])
+
+    return emb_df.select(id_col, emb_col).mapInArrow(
+        sign, "vec_id long, table int, key long")
+
+
+def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
+             k: int = 10, n_tables: int = 16, n_bits: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: LSH bucket candidates, exact re-rank.
+
+    Returns (query_id, neighbor_id, rank) over the candidate set.
+    """
+    spark = emb_df.sparkSession
+    dim = len(queries[0][1])
+    sigs = lsh_signatures(emb_df, n_tables, n_bits, dim, id_col, emb_col)
+    qdf = spark.createDataFrame([(int(i), [float(x) for x in v]) for i, v in queries],
+                                f"{id_col} long, {emb_col} array<float>")
+    qsigs = (lsh_signatures(qdf, n_tables, n_bits, dim, id_col, emb_col)
+             .withColumnRenamed("vec_id", "query_id"))
+    cand = (sigs.join(F.broadcast(qsigs), ["table", "key"])
+            .select("query_id", "vec_id").distinct())
+    # exact re-rank of candidates
+    emb = emb_df.select(F.col(id_col).alias("vec_id"), emb_col)
+    cand_emb = cand.join(emb, "vec_id")
+
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    order = np.argsort(qids)
+    b = spark.sparkContext.broadcast((qids[order], qmat[order]))
+
+    import pyarrow as pa
+
+    def rerank(batches):
+        qs, qm = b.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            qid = batch.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_emb_matrix(batch, emb_col))
+            scores = np.einsum("ij,ij->i", m, qm[np.searchsorted(qs, qid)])
+            yield pa.record_batch([
+                pa.array(qid, pa.int64()), pa.array(ids, pa.int64()),
+                pa.array(scores, pa.float64()),
+            ], names=["query_id", "neighbor_id", "score"])
+
+    scored = cand_emb.mapInArrow(rerank, "query_id long, neighbor_id long, score double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank"))

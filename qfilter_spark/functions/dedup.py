@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Spark-first design:
+- shingling and shingle hashing are JVM expressions (``transform`` +
+  ``xxhash64``) so whole-stage codegen covers them;
+- MinHash signatures / SimHash bits are one vectorized Arrow UDF over the
+  already-hashed shingle arrays (numpy segment-min / bit-count — no per-row
+  Python);
+- LSH banding + candidate generation is a posexplode + self-join on
+  (band, key) — an equi-join Catalyst can plan (broadcast or shuffle-hash);
+- verification is an exact set Jaccard on the shingle-string arrays
+  (``array_intersect`` / ``array_union``), the same definition the DuckDB
+  oracle evaluates.
+
+At 100 TB the self-join on band keys is the only shuffle, its width is
+(doc_id, 16 band keys), and hot buckets are naturally bounded by band-key
+cardinality; exact verification touches only candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+N_PERM = 64           # minhash permutations
+N_BANDS = 16          # bands over the signature
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Distinct word n-gram shingles as array<string> (JVM-side).
+
+    SQL mirror (DuckDB): list_distinct(list_transform(range(1, len(w)-n+1+1),
+    i -> w[i]||' '||...||w[i+n-1])) over w = string_split(text, ' ').
+    """
+    parts = ", ' ', ".join(f"__words[i + {k}]" for k in range(n))
+    expr = (f"CASE WHEN size(__words) < {n} THEN array() ELSE "
+            f"array_distinct(transform(sequence(0, size(__words) - {n}), "
+            f"i -> concat({parts}))) END")
+    return (df.withColumn("__words", F.split(F.col(text_col), " "))
+              .withColumn(out_col, F.expr(expr))
+              .drop("__words"))
+
+
+def with_shingle_hashes(df: DataFrame, shingle_col: str = "shingles",
+                        out_col: str = "shingle_hashes") -> DataFrame:
+    """xxhash64 each shingle string on the JVM (array<long>)."""
+    return df.withColumn(out_col, F.expr(f"transform({shingle_col}, s -> xxhash64(s))"))
+
+
+def _minhash_arrow(seeds: np.ndarray):
+    """mapInArrow kernel: (doc_id, shingle_hashes) -> + signature, bands, simhash."""
+    import pyarrow as pa
+
+    from ..hashing import xxh64_u64, xxh64_u64_chain
+
+    def run(batches):
+        for batch in batches:
+            lst = batch.column("shingle_hashes")
+            if hasattr(lst, "combine_chunks"):
+                lst = lst.combine_chunks()
+            offsets = lst.offsets.to_numpy().astype(np.int64)
+            start = offsets[0]
+            flat = lst.values.to_numpy().astype(np.int64).view(np.uint64)[start:offsets[-1]]
+            offsets = offsets - start
+            n_docs = len(lst)
+            starts = offsets[:-1]
+            nonempty = offsets[1:] > offsets[:-1]
+
+            # MinHash: per-seed rehash, segment-min per doc
+            sig = np.full((n_docs, seeds.size), np.uint64(0xFFFFFFFFFFFFFFFF))
+            if flat.size:
+                for j, s in enumerate(seeds):
+                    h = xxh64_u64(flat, np.uint64(s))
+                    mins = np.minimum.reduceat(h, np.minimum(starts, flat.size - 1))
+                    sig[nonempty, j] = mins[nonempty]
+
+            # LSH bands: chain-hash each band's rows (+ band index as salt)
+            bands = np.empty((n_docs, N_BANDS), dtype=np.uint64)
+            for b in range(N_BANDS):
+                cols = [sig[:, b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
+                bands[:, b] = xxh64_u64_chain(cols, np.uint64(1000 + b))
+
+            # SimHash: majority vote per bit over shingle hashes
+            sim = np.zeros(n_docs, dtype=np.uint64)
+            if flat.size:
+                bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
+                                     axis=1, bitorder="little").astype(np.int32)
+                sums = np.add.reduceat(bits, np.minimum(starts, flat.size - 1), axis=0)
+                counts = (offsets[1:] - offsets[:-1])[:, None]
+                maj = (2 * sums > counts) & nonempty[:, None]
+                weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+                sim = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+            yield pa.record_batch([
+                batch.column("doc_id"),
+                pa.array(sig.view(np.int64).tolist(), pa.list_(pa.int64())),
+                pa.array(bands.view(np.int64).tolist(), pa.list_(pa.int64())),
+                pa.array(sim.view(np.int64), pa.int64()),
+            ], names=["doc_id", "signature", "bands", "simhash"])
+
+    return run
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       hash_col: str = "shingle_hashes") -> DataFrame:
+    """(id, signature array<long>, bands array<long>, simhash long)."""
+    seeds = np.arange(1, N_PERM + 1, dtype=np.uint64) * np.uint64(0x9E3779B9)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(hash_col).alias("shingle_hashes"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInArrow(
+        _minhash_arrow(seeds),
+        f"doc_id {id_type}, signature array<long>, bands array<long>, simhash long")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket."""
+    exploded = sig_df.select("doc_id", F.posexplode("bands").alias("band", "key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (a.join(b, ["band", "key"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def exact_jaccard_pairs(pairs: DataFrame, shingle_df: DataFrame,
+                        id_col: str = "doc_id",
+                        shingle_col: str = "shingles") -> DataFrame:
+    """Exact set Jaccard for given pairs; adds jacc_millis (exact integer)."""
+    sh = shingle_df.select(F.col(id_col).alias("__id"), F.col(shingle_col).alias("__sh"))
+    out = (pairs
+           .join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
+           .join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
+           .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+           .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+           .withColumn("jacc_millis",
+                       F.floor(F.lit(1000.0) * F.col("inter") / F.col("uni")).cast("long")))
+    return out.select("doc_a", "doc_b", "jacc_millis")
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold_millis: int = 800) -> DataFrame:
+    """Full pipeline: shingle -> minhash -> LSH candidates -> exact verify.
+
+    With J >= 0.8 and 16 bands x 4 rows the candidate-recall is ~0.9998 at
+    the threshold and ~1-1e-20 for true near-dups, so the verified output
+    equals the exact all-pairs answer (the DuckDB oracle) on real data.
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    hashed = with_shingle_hashes(sh)
+    sig = minhash_signatures(hashed, id_col=id_col)
+    cand = lsh_candidate_pairs(sig)
+    verified = exact_jaccard_pairs(cand, sh, id_col=id_col)
+    return verified.where(F.col("jacc_millis") >= threshold_millis)
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance over LSH candidates."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, 3)
+    hashed = with_shingle_hashes(sh)
+    sig = minhash_signatures(hashed, id_col=id_col)
+    cand = lsh_candidate_pairs(sig)
+    s = sig.select("doc_id", "simhash")
+    out = (cand
+           .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sim_a"), "doc_a")
+           .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sim_b"), "doc_b")
+           .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
+    return out.where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Exact dedup: first row (min doc_id) per key group — one hash shuffle."""
+    w_cols = [F.col(c) for c in key_cols]
+    return (df.groupBy(*w_cols)
+              .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")))

@@ -1,0 +1,367 @@
+"""Workload catalog: every operator exposed as a (spark, sf_dir) -> DataFrame
+query plus an exact DuckDB oracle (driver contract in __spark_entry__.py).
+
+Approximate answers are made exactly checkable by returning the *assertion*
+as data: each sketch query computes its estimate AND the exact answer
+distributively, emits the exact value plus a boolean "estimate within the
+algorithm's published bound" — deterministic because all hashing is seeded
+XXH64 and all inputs are fixed parquet.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import sketches
+from .dist import SketchSpec, build_sketch, partial_sketches
+from .dist.probe import probe_hashes
+from .functions import ann, dedup, multimodal, text as T
+from .hashing import xxh64_u64
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _hashed(df: DataFrame, col: str, out: str = "h") -> DataFrame:
+    """int64 XXH64 column, JVM-side (cast to long first: int32 lanes differ)."""
+    return df.withColumn(out, F.xxhash64(F.col(col).cast("long")))
+
+
+def _one_row(spark: SparkSession, **cols) -> DataFrame:
+    names = ", ".join(
+        f"{k} {'boolean' if isinstance(v, bool) else 'long' if isinstance(v, (int, np.integer)) else 'string'}"
+        for k, v in cols.items())
+    return spark.createDataFrame([tuple(cols.values())], names)
+
+
+# ---------------------------------------------------------------------------
+# RSQF queries
+# ---------------------------------------------------------------------------
+
+def q_rsqf_membership(spark, sf_dir):
+    """Zero false negatives: every inserted doc_id probes as contained."""
+    docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
+    n = docs.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    blob = build_sketch(docs, spec, fan_in=8)
+    probed = probe_hashes(docs.select("h"), blob, "h", out_col="c", as_bool=True)
+    return (probed.agg(F.count("*").alias("n_probed"),
+                       F.sum(F.col("c").cast("long")).alias("n_contained")))
+
+
+def q_rsqf_fpr(spark, sf_dir):
+    """Observed FPR over 50k absent keys <= configured max error ratio."""
+    docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
+    n = docs.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    blob = build_sketch(docs, spec, fan_in=8)
+    sk = sketches.loads(blob)
+    absent = spark.range(10**12, 10**12 + 50_000).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h"))
+    hits = probe_hashes(absent, blob, "h", out_col="c", as_bool=True) \
+        .where("c").count()
+    ok = hits / 50_000 <= sk.filter.max_error_ratio()
+    return _one_row(spark, n_probes=50_000, fpr_within_bound=bool(ok))
+
+
+def q_rsqf_counting(spark, sf_dir):
+    """Counting semantics: estimate >= true multiplicity for every key."""
+    orders = _hashed(load(spark, sf_dir, "orders"), "o_custkey")
+    n = orders.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.001), "hash_col", "h")
+    blob = build_sketch(orders, spec, fan_in=8)
+    truth = orders.groupBy("o_custkey", "h").agg(F.count("*").alias("true_cnt"))
+    est = probe_hashes(truth, blob, "h", out_col="est")
+    return est.agg(
+        F.count("*").alias("n_keys"),
+        F.sum((F.col("est") >= F.col("true_cnt")).cast("long")).alias("n_est_ge_true"))
+
+
+def q_rsqf_merge_invariance(spark, sf_dir):
+    """Permuted tree-merge orders give bit-identical filters."""
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey").repartition(8)
+    n = li.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    parts = [bytes(r["payload"]) for r in partial_sketches(li, spec).collect()]
+
+    def reduce_order(order):
+        acc = None
+        for i in order:
+            sk = sketches.loads(parts[i])
+            if acc is None:
+                acc = sk
+            else:
+                acc.merge(sk)
+        return acc
+
+    a = reduce_order(range(len(parts)))
+    b = reduce_order(list(reversed(range(len(parts)))))
+    identical = a.to_bytes() == b.to_bytes()
+    return _one_row(spark, n_fps=len(a.filter), identical=bool(identical))
+
+
+def q_rsqf_growth(spark, sf_dir):
+    """Resizeable filter grows through capacity doublings, keeps all items."""
+    ev = _hashed(load(spark, sf_dir, "events"), "event_id")
+    n = ev.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(256, 2 * n), fp_rate=0.01,
+                                   resizeable_from=64), "hash_col", "h")
+    blob = build_sketch(ev, spec, fan_in=8)
+    sk = sketches.loads(blob)
+    contained = probe_hashes(ev.select("h"), blob, "h", out_col="c", as_bool=True) \
+        .agg(F.sum(F.col("c").cast("long")).alias("n")).collect()[0]["n"]
+    return _one_row(spark, len_after=len(sk.filter), n_contained=int(contained))
+
+
+def q_rsqf_remove(spark, sf_dir):
+    """Delete one-third of inserted keys; the rest remain contained."""
+    ev = _hashed(load(spark, sf_dir, "events"), "event_id")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, ev.count()), fp_rate=0.001),
+                      "hash_col", "h")
+    blob = build_sketch(ev, spec, fan_in=8)
+    sk = sketches.loads(blob)
+    removed = np.array([r["h"] for r in ev.where("event_id % 3 = 0").collect()],
+                       dtype=np.int64).view(np.uint64)
+    for h in removed:
+        sk.filter.remove_fingerprint(int(h))
+    keep = ev.where("event_id % 3 != 0")
+    n_contained = probe_hashes(keep.select("h"), sk.to_bytes(), "h",
+                               out_col="c", as_bool=True) \
+        .agg(F.sum(F.col("c").cast("long")).alias("n")).collect()[0]["n"]
+    return _one_row(spark, len_after=len(sk.filter), n_remaining_contained=int(n_contained))
+
+
+def q_rsqf_serde_roundtrip(spark, sf_dir):
+    """Blocked physical layout encode -> decode is lossless."""
+    docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
+    n = docs.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    blob = build_sketch(docs, spec, fan_in=8)
+    sk = sketches.loads(blob)
+    back = sketches.loads(sk.to_bytes())
+    ok = (np.array_equal(back.filter.fingerprints(), sk.filter.fingerprints())
+          and back.to_bytes() == sk.to_bytes())
+    return _one_row(spark, n_fps=len(sk.filter), roundtrip_ok=bool(ok))
+
+
+# ---------------------------------------------------------------------------
+# sibling sketches
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct(spark, sf_dir):
+    orders = _hashed(load(spark, sf_dir, "orders"), "o_custkey")
+    blob = build_sketch(orders, SketchSpec("hll", dict(p=14), "hash_col", "h"), fan_in=8)
+    sk = sketches.loads(blob)
+    exact = orders.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
+    ok = abs(sk.estimate() - exact) <= 4 * sk.relative_sd() * exact + 2
+    return _one_row(spark, exact_distinct=int(exact), hll_within_bound=bool(ok))
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.xxhash64("source"))
+    n = docs.count()
+    blob = build_sketch(docs, SketchSpec("cms", dict(eps=0.001, delta=0.01),
+                                         "hash_col", "h"), fan_in=8)
+    truth = docs.groupBy("source", "h").agg(F.count("*").alias("exact_cnt"))
+    est = probe_hashes(truth, blob, "h", out_col="est")
+    eps_n = sketches.loads(blob).eps() * n
+    return (est.withColumn("est_within_bound",
+                           (F.col("est") >= F.col("exact_cnt"))
+                           & (F.col("est") <= F.col("exact_cnt") + F.lit(float(eps_n)) + F.lit(1.0)))
+            .select("source", "exact_cnt", "est_within_bound"))
+
+
+def _quantile_check(spark, df, col, kind, params, tol_millis):
+    spec = SketchSpec(kind, params, "values", col)
+    blob = build_sketch(df, spec, fan_in=8)
+    sk = sketches.loads(blob)
+    n = df.count()
+    rows = []
+    for pct in [10, 25, 50, 75, 90]:
+        est = float(sk.quantile(pct / 100.0))
+        true_rank = df.where(F.col(col) <= F.lit(est)).count() / n
+        rows.append((pct, bool(abs(true_rank - pct / 100.0) * 1000 <= tol_millis)))
+    return spark.createDataFrame(rows, "pct long, rank_within_bound boolean")
+
+
+def q_kll_quantiles(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders")
+    return _quantile_check(spark, orders, "o_totalprice", "kll", dict(k=200), 25)
+
+
+def q_tdigest_quantiles(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return _quantile_check(spark, li, "l_extendedprice", "tdigest",
+                           dict(compression=200), 25)
+
+
+def q_bloom_membership(spark, sf_dir):
+    part = _hashed(load(spark, sf_dir, "part"), "p_partkey")
+    n = part.count()
+    blob = build_sketch(part, SketchSpec("bloom", dict(capacity=max(64, n), fp_rate=0.01),
+                                         "hash_col", "h"), fan_in=8)
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_partkey")
+    probed = probe_hashes(li.select("h"), blob, "h", out_col="c", as_bool=True)
+    return probed.agg(F.count("*").alias("n_probed"),
+                      F.sum(F.col("c").cast("long")).alias("n_contained"))
+
+
+def q_ngram_sketch_tokens(spark, sf_dir):
+    """RSQF over word-3-gram token hashes of the documents table.
+
+    Tokens = xxhash64 of each word (JVM); n-gram chain happens in the Arrow
+    kernel — the flagship corpus pipeline on the shared test tables.
+    """
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr("transform(split(text, ' '), w -> xxhash64(w))"))
+    total = docs.select(F.sum(F.greatest(F.size("tokens") - F.lit(2), F.lit(0)))
+                        .alias("n")).collect()[0]["n"]
+    spec = SketchSpec("rsqf", dict(capacity=max(64, int(total)), fp_rate=0.01),
+                      mode="tokens_ngram", col="tokens", ngram_n=3)
+    blob = build_sketch(docs, spec, fan_in=8)
+    sk = sketches.loads(blob)
+    return _one_row(spark, n_ngrams=len(sk.filter), matches_exact=bool(len(sk.filter) == total))
+
+
+# ---------------------------------------------------------------------------
+# dedup / text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    deduped = dedup.exact_dedup(docs, ["text"])
+    return deduped.agg(F.count("*").alias("n_unique_text"),
+                       F.sum("n_copies").alias("n_docs"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b", "jacc_millis")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard >= 0.8 via explode + equi-join (no minhash)."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.with_shingles(docs.select("doc_id", "text"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inter = (ex.alias("a").join(ex.alias("b"), "s")
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+           .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+           .withColumn("jacc_millis", F.floor(
+               F.lit(1000.0) * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).cast("long")))
+    return out.where("jacc_millis >= 800").select("doc_a", "doc_b", "jacc_millis")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash-close (hamming <= 12) near-dup pairs, verified at J >= 0.8."""
+    docs = load(spark, sf_dir, "documents")
+    sim = dedup.simhash_near_pairs(docs, max_hamming=12).select("doc_a", "doc_b")
+    verified = dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b")
+    return sim.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
+
+
+def q_langid(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.withColumn("lang_pred", T.langid_pred(F.col("text")))
+            .groupBy("lang_pred").agg(F.count("*").alias("n_docs")))
+
+
+def q_text_quality(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs
+            .withColumn("bucket", T.quality_bucket(F.col("text")))
+            .withColumn("toks", T.ws_token_count(F.col("text")))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("toks").alias("sum_tokens")))
+
+
+def q_token_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = T.ws_token_count(F.col("text"))
+    return docs.agg(F.count("*").alias("n_docs"),
+                    F.sum(toks).alias("total_tokens"),
+                    F.max(toks).alias("max_tokens"),
+                    F.sum(T.stopword_count(F.col("text"))).alias("total_stopwords"),
+                    F.sum(T.avg_word_len_millis(F.col("text"))).alias("sum_awl_millis"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return (docs.withColumn("fp", F.xxhash64("text"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("fp").alias("n_distinct_fp")))
+
+
+# ---------------------------------------------------------------------------
+# similarity search / multimodal
+# ---------------------------------------------------------------------------
+
+def _queries_from(emb_df, n=10):
+    rows = emb_df.where(F.col("vec_id") < n).orderBy("vec_id").collect()
+    return [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+
+def q_ann_bruteforce(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries_from(emb, 10)
+    return ann.cosine_topk(emb, qs, k=10)
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries_from(emb, 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(emb, qs, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann.lsh_topk(emb, qs, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    return _one_row(spark, n_queries=10, recall_ok=bool(recall >= 0.5))
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup pairs: cosine >= 0.95, exact all-pairs per query."""
+    emb = load(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, mn))
+
+    import pyarrow as pa
+
+    def pairs(batches):
+        all_ids, all_m = b.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            my_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            mm = ann._normalize(ann._emb_matrix(batch, "embedding"))
+            scores = mm @ all_m.T
+            ii, jj = np.nonzero(scores >= 0.95)
+            keep = my_ids[ii] < all_ids[jj]
+            yield pa.record_batch([
+                pa.array(my_ids[ii][keep], pa.int64()),
+                pa.array(all_ids[jj][keep], pa.int64()),
+            ], names=["vec_a", "vec_b"])
+
+    return emb.select("vec_id", "embedding").mapInArrow(
+        pairs, "vec_a long, vec_b long")
+
+
+def q_multimodal_stats(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_media(docs, "encode(text, 'utf-8')", "image")
+    feats = multimodal.extract_features(media)
+    return feats.agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.col("media.n_bytes")).cast("long").alias("total_bytes"),
+        F.max(F.col("media.n_bytes")).cast("long").alias("max_bytes"),
+        F.sum((F.size("features") == multimodal.FEATURE_DIM).cast("long"))
+        .alias("n_features_ok"))
