@@ -1,0 +1,152 @@
+"""Range-sharded distributed RSQF: the 100 TB-scale filter layout.
+
+A quotient filter over 10^12 keys at 1% FPR holds ~12 bits/key — terabytes
+of state: it cannot live in one blob on one node. But the reference's
+structure shards *naturally by quotient prefix*: fingerprints are
+(quotient << rbits) | remainder, and the physical layout is ordered by
+quotient (src/lib.rs:1304-1309), so splitting the fingerprint domain into
+2^k contiguous ranges gives 2^k independent filters whose union is exactly
+the single big filter — same answers, bit-for-bit (tested against the
+single-blob path).
+
+Build: one ``mapInArrow`` pass emits per-(partition, shard) sorted
+fingerprint chunks; one ``groupBy(shard).applyInPandas`` round merges each
+shard (k-way timsort of sorted runs). The filter then LIVES as a Parquet
+table (shard, n_fps, payload) — the checkpointed lineage IS the data.
+
+Probe: probes are shuffled once by the same shard function and co-grouped
+with the filter table (``cogroup.applyInPandas``) — a co-partitioned join;
+each task touches exactly one shard's state. No broadcast, no driver blob,
+no single reducer, at any scale.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .. import sketches
+from ..rsqf import Filter
+from .agg import SketchSpec
+
+SHARDED_SCHEMA = "shard int, n_fps long, payload binary"
+
+
+def _fp_meta(spec: SketchSpec) -> tuple[int, int, int]:
+    """(qbits, rbits, fingerprint_size) of the spec's filter params."""
+    f = spec.make().filter
+    return f.qbits, f.rbits, f.fingerprint_size()
+
+
+def shard_bits_for(n_shards: int) -> int:
+    k = int(n_shards).bit_length() - 1
+    assert (1 << k) == n_shards, "n_shards must be a power of two"
+    return k
+
+
+def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64):
+    """Returns a DataFrame (shard, n_fps, payload): the distributed filter.
+
+    ``payload`` is a canonical sorted-fingerprint Filter blob restricted to
+    the shard's fingerprint range [shard << (fs-k), (shard+1) << (fs-k)).
+    Write it to Parquet to persist; union of shards == the single filter.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    k = shard_bits_for(n_shards)
+    qbits, rbits, fs = _fp_meta(spec)
+    assert k <= qbits, "shard prefix must fit in the quotient"
+    shift = np.uint64(fs - k)
+    mask = np.uint64((1 << fs) - 1) if fs < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def emit_chunks(batches):
+        buf: list[np.ndarray] = []
+        for batch in batches:
+            if batch.num_rows:
+                data = spec.extract(batch)
+                if data.size:
+                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
+        if not buf:
+            return
+        fps = np.concatenate(buf)
+        fps.sort(kind="stable")
+        bounds = np.searchsorted(
+            fps, np.arange(1, n_shards, dtype=np.uint64) << shift, side="left")
+        chunks = np.split(fps, bounds)
+        shards = [s for s in range(n_shards) if chunks[s].size]
+        yield pa.record_batch([
+            pa.array(shards, pa.int32()),
+            pa.array([int(chunks[s].size) for s in shards], pa.int64()),
+            pa.array([chunks[s].tobytes() for s in shards], pa.binary()),
+        ], names=["shard", "n_fps", "payload"])
+
+    chunks_df = df.select(spec.col).mapInArrow(emit_chunks, SHARDED_SCHEMA)
+
+    import pandas as pd
+
+    keep = getattr(spec.make(), "keep_duplicates", True)
+
+    def merge_shard(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        runs = [np.frombuffer(p, dtype=np.uint64) for p in pdf["payload"]]
+        fps = np.concatenate(runs) if runs else np.empty(0, dtype=np.uint64)
+        fps.sort(kind="stable")  # timsort: adaptive on concatenated sorted runs
+        if not keep:
+            fps = np.unique(fps)
+        filt = Filter(qbits, rbits, None, fps)
+        blob = sketches.RsqfSketch(filt, keep).to_bytes()
+        return pd.DataFrame({"shard": [int(key[0])], "n_fps": [int(fps.size)],
+                             "payload": [blob]})
+
+    return chunks_df.groupBy("shard").applyInPandas(merge_shard, SHARDED_SCHEMA)
+
+
+def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
+                  spec: SketchSpec):
+    """Membership/count stats per shard via a co-partitioned group join.
+
+    Returns a DataFrame (shard, n_probed, n_contained) — aggregate per
+    shard; sum for global counts. Probes travel through one shuffle keyed
+    by the same fingerprint-prefix shard function as the build.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    k = shard_bits_for(n_shards)
+    _, _, fs = _fp_meta(spec)
+
+    probes = probe_df.select(
+        F.col(hash_col).alias("h"),
+        (F.shiftrightunsigned(
+            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
+            fs - k)).cast("int").alias("shard"))
+
+    def probe_group(key, probes_pdf: "pd.DataFrame", filt_pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(probes_pdf)
+        if n == 0:
+            return pd.DataFrame({"shard": [], "n_probed": [], "n_contained": []})
+        if len(filt_pdf) == 0:
+            hit = 0
+        else:
+            sk = sketches.loads(filt_pdf["payload"].iloc[0])
+            h = probes_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            hit = int(sk.contains_hashes(h).sum())
+        return pd.DataFrame({"shard": [int(key[0])], "n_probed": [n],
+                             "n_contained": [hit]})
+
+    return (probes.groupBy("shard")
+            .cogroup(filter_df.groupBy("shard"))
+            .applyInPandas(probe_group, "shard int, n_probed long, n_contained long"))
+
+
+def sharded_to_single(filter_df, spec: SketchSpec) -> bytes:
+    """Collapse the shard table to one blob (for parity tests / export)."""
+    rows = sorted(filter_df.collect(), key=lambda r: r["shard"])
+    qbits, rbits, _ = _fp_meta(spec)
+    keep = getattr(spec.make(), "keep_duplicates", True)
+    fps = np.concatenate([
+        sketches.loads(r["payload"]).filter.fingerprints() for r in rows
+    ]) if rows else np.empty(0, dtype=np.uint64)
+    # shards are contiguous ranges in ascending order -> already sorted
+    return sketches.RsqfSketch(Filter(qbits, rbits, None, fps), keep).to_bytes()

@@ -43,7 +43,8 @@ def ngram_hashes(flat: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
             for k in range(n)]
     hashes = xxh64_u64_chain(cols)
     # keep windows that do not cross a document boundary
-    doc_of = np.searchsorted(offsets, np.arange(total), side="right")
+    lengths = np.diff(offsets)
+    doc_of = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
     valid = doc_of[:n_windows] == doc_of[n - 1:]
     return hashes[valid]
 
@@ -59,6 +60,7 @@ def ngram_hashes_per_doc(flat: np.ndarray, offsets: np.ndarray, n: int
             else flat[k:n_windows + k].astype(np.uint64)
             for k in range(n)]
     hashes = xxh64_u64_chain(cols)
-    doc_of = np.searchsorted(offsets, np.arange(total), side="right")
+    lengths = np.diff(offsets)
+    doc_of = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
     valid = doc_of[:n_windows] == doc_of[n - 1:]
-    return hashes[valid], (doc_of[:n_windows][valid] - 1).astype(np.int64)
+    return hashes[valid], doc_of[:n_windows][valid]

@@ -50,16 +50,28 @@ def xxh64_u64(values: np.ndarray, seed=SPARK_SEED) -> np.ndarray:
     with np.errstate(over="ignore"):
         v = np.asarray(values).astype(np.uint64, copy=False)
         seed = np.asarray(seed).astype(np.uint64, copy=False)
-        acc = seed + _P5 + np.uint64(8)
-        k = _rotl(v * _P2, 31) * _P1
-        acc = acc ^ k
-        acc = _rotl(acc, 27) * _P1 + _P4
+        # lane: k = rotl31(v * P2) * P1  (in-place where possible)
+        k = v * _P2
+        tmp = k >> np.uint64(33)
+        np.left_shift(k, np.uint64(31), out=k)
+        np.bitwise_or(k, tmp, out=k)
+        np.multiply(k, _P1, out=k)
+        # acc = rotl27(seed + P5 + 8 ^ k) * P1 + P4
+        acc = np.bitwise_xor(seed + (_P5 + np.uint64(8)), k, out=k)
+        np.right_shift(acc, np.uint64(37), out=tmp)
+        np.left_shift(acc, np.uint64(27), out=acc)
+        np.bitwise_or(acc, tmp, out=acc)
+        np.multiply(acc, _P1, out=acc)
+        np.add(acc, _P4, out=acc)
         # avalanche
-        acc ^= acc >> np.uint64(33)
-        acc *= _P2
-        acc ^= acc >> np.uint64(29)
-        acc *= _P3
-        acc ^= acc >> np.uint64(32)
+        np.right_shift(acc, np.uint64(33), out=tmp)
+        np.bitwise_xor(acc, tmp, out=acc)
+        np.multiply(acc, _P2, out=acc)
+        np.right_shift(acc, np.uint64(29), out=tmp)
+        np.bitwise_xor(acc, tmp, out=acc)
+        np.multiply(acc, _P3, out=acc)
+        np.right_shift(acc, np.uint64(32), out=tmp)
+        np.bitwise_xor(acc, tmp, out=acc)
         return acc
 
 

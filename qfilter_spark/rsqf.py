@@ -164,11 +164,37 @@ class Filter:
         return int(hi - lo)
 
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
-        """Vectorized membership for a uint64 hash column."""
-        return self.count_hashes(hashes) > 0
+        """Vectorized membership for a uint64 hash column.
+
+        Large probe batches are sorted first: binary searches over a big
+        table are cache-miss-bound for random probe order, ~5x slower than
+        probing in sorted order (locality across successive searches).
+        """
+        fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
+        n = self._fps.size
+        if n == 0 or fps.size == 0:
+            return np.zeros(fps.size, dtype=bool)
+        if fps.size > 4096:
+            order = np.argsort(fps)
+            qs = fps[order]
+            lo = np.searchsorted(self._fps, qs, side="left")
+            hit = (lo < n) & (self._fps[np.minimum(lo, n - 1)] == qs)
+            out = np.empty(fps.size, dtype=bool)
+            out[order] = hit
+            return out
+        lo = np.searchsorted(self._fps, fps, side="left")
+        return (lo < n) & (self._fps[np.minimum(lo, n - 1)] == fps)
 
     def count_hashes(self, hashes: np.ndarray) -> np.ndarray:
         fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
+        if fps.size > 4096:
+            order = np.argsort(fps)
+            qs = fps[order]
+            lo = np.searchsorted(self._fps, qs, side="left")
+            hi = np.searchsorted(self._fps, qs, side="right")
+            out = np.empty(fps.size, dtype=np.int64)
+            out[order] = hi - lo
+            return out
         lo = np.searchsorted(self._fps, fps, side="left")
         hi = np.searchsorted(self._fps, fps, side="right")
         return (hi - lo).astype(np.int64)
@@ -338,16 +364,23 @@ class Filter:
         raise ValueError(f"unknown format {fmt!r}")
 
     @classmethod
-    def from_bytes(cls, data: bytes) -> "Filter":
-        magic, fmt, q, r, mq, n = _HEADER.unpack_from(data, 0)
+    def from_bytes(cls, data) -> "Filter":
+        """Deserialize from bytes or memoryview.
+
+        Zero-copy for the ``fps`` wire format: the fingerprint array is a
+        read-only view onto the input buffer (no mutation ever happens in
+        place — every mutator builds a new array), so decoding a blob is
+        O(1) regardless of size.
+        """
+        mv = memoryview(data)
+        magic, fmt, q, r, mq, n = _HEADER.unpack_from(mv, 0)
         if magic != _MAGIC:
             raise ValueError("bad magic")
-        payload = data[_HEADER.size:]
         if fmt == _FMT_FPS:
-            fps = np.frombuffer(payload, dtype=np.uint64, count=n).copy()
+            fps = np.frombuffer(mv, dtype=np.uint64, count=n, offset=_HEADER.size)
         elif fmt == _FMT_BLOCKS:
             from . import blocks
-            fps = blocks.decode(payload, q, r, n)
+            fps = blocks.decode(mv[_HEADER.size:], q, r, n)
         else:
             raise ValueError(f"unknown format byte {fmt}")
         return cls(q, r, mq if mq else None, fps)

@@ -5,6 +5,14 @@ Makes the quotient filter usable by the generic distributed aggregation in
 semantics: every partial filter is created with the same (capacity, fp_rate)
 parameters — hence identical fingerprint size — so merges are always
 compatible (reference compatibility rule: src/lib.rs:1343-1346).
+
+Wire vs at-rest format: partial sketches and merge rounds travel as the
+canonical sorted-fingerprint payload (``fps``) — size proportional to
+*content*, O(n) encode/decode — while :meth:`to_blocks_bytes` emits the
+reference's physical blocked layout for final at-rest storage
+(size proportional to *capacity*; roundtrip tested in tests/test_rsqf.py).
+This mirrors Spark's own aggregate buffers (compact partial state) vs final
+output representation split.
 """
 
 from __future__ import annotations
@@ -59,6 +67,12 @@ class RsqfSketch:
         self.filter.merge(self.keep_duplicates, other.filter)
 
     def to_bytes(self) -> bytes:
+        """Wire format: canonical sorted fingerprints (content-sized)."""
+        return frame(KIND_RSQF, _HDR.pack(self.keep_duplicates)
+                     + self.filter.to_bytes(fmt="fps"))
+
+    def to_blocks_bytes(self) -> bytes:
+        """At-rest format: the reference's physical blocked layout."""
         return frame(KIND_RSQF, _HDR.pack(self.keep_duplicates)
                      + self.filter.to_bytes(fmt="blocks"))
 

@@ -140,9 +140,9 @@ def q_rsqf_serde_roundtrip(spark, sf_dir):
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     blob = build_sketch(docs, spec, fan_in=8)
     sk = sketches.loads(blob)
-    back = sketches.loads(sk.to_bytes())
+    back = sketches.loads(sk.to_blocks_bytes())  # physical blocked layout
     ok = (np.array_equal(back.filter.fingerprints(), sk.filter.fingerprints())
-          and back.to_bytes() == sk.to_bytes())
+          and back.to_blocks_bytes() == sk.to_blocks_bytes())
     return _one_row(spark, n_fps=len(sk.filter), roundtrip_ok=bool(ok))
 
 

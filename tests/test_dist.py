@@ -23,36 +23,7 @@ from qfilter_spark.functions.ngrams import ngram_hashes
 from qfilter_spark.hashing import xxh64_str, xxh64_u64_chain
 from qfilter_spark import sketches
 
-N_DOCS = 1000  # F1 t1 smoke scale
-
-
-@pytest.fixture(scope="session")
-def spark():
-    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from pyspark.sql import SparkSession
-    s = (SparkSession.builder.master("local[2]")
-         .appName("qfilter-spark-tests")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.ui.enabled", "false")
-         .config("spark.sql.adaptive.enabled", "true")
-         .getOrCreate())
-    s.sparkContext.setLogLevel("ERROR")
-    yield s
-    s.stop()
-
-
-@pytest.fixture(scope="session")
-def corpus_dir(tmp_path_factory):
-    path = str(tmp_path_factory.mktemp("corpus") / "t1")
-    corpus.write_corpus(path, N_DOCS, rows_per_file=250)
-    return path
-
-
-@pytest.fixture(scope="session")
-def corpus_df(spark, corpus_dir):
-    df = spark.read.parquet(corpus_dir).repartition(8)
-    df.cache().count()
-    return df
+from .conftest import N_DOCS  # shared session fixtures live in conftest
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,60 @@
+"""Range-sharded filter: union of shards == single-blob filter, bit-for-bit;
+co-partitioned probe agrees with broadcast probe."""
+
+import numpy as np
+import pytest
+
+from qfilter_spark import sketches
+from qfilter_spark.dist import SketchSpec, build_sketch
+from qfilter_spark.dist.sharded import (
+    build_sharded_filter,
+    probe_sharded,
+    sharded_to_single,
+)
+
+
+
+@pytest.fixture(scope="session")
+def hashed_df(corpus_df):
+    from pyspark.sql import functions as F
+    return corpus_df.withColumn("h", F.xxhash64("doc_id"))
+
+
+SPEC = SketchSpec("rsqf", dict(capacity=4096, fp_rate=0.01), "hash_col", "h")
+
+
+def test_sharded_equals_single_blob(spark, hashed_df):  # noqa: F811
+    single = sketches.loads(build_sketch(hashed_df, SPEC, fan_in=8))
+    sharded_df = build_sharded_filter(hashed_df, SPEC, n_shards=8)
+    rows = sharded_df.collect()
+    assert 1 <= len(rows) <= 8
+    assert sum(r["n_fps"] for r in rows) == len(single.filter)
+    merged = sketches.loads(sharded_to_single(sharded_df, SPEC))
+    assert np.array_equal(merged.filter.fingerprints(), single.filter.fingerprints())
+    # shards hold disjoint contiguous ranges
+    k = 3
+    fs = single.filter.fingerprint_size()
+    for r in rows:
+        fps = sketches.loads(r["payload"]).filter.fingerprints()
+        assert (fps >> np.uint64(fs - k) == r["shard"]).all()
+
+
+def test_sharded_probe_counts(spark, hashed_df):  # noqa: F811
+    filter_df = build_sharded_filter(hashed_df, SPEC, n_shards=8)
+    stats = probe_sharded(hashed_df, "h", filter_df, 8, SPEC) \
+        .groupBy().sum("n_probed", "n_contained").collect()[0]
+    n = hashed_df.count()
+    assert stats[0] == n
+    assert stats[1] == n  # zero false negatives
+
+
+def test_sharded_probe_absent_fpr(spark, hashed_df):  # noqa: F811
+    from pyspark.sql import functions as F
+    filter_df = build_sharded_filter(hashed_df, SPEC, n_shards=8)
+    absent = spark.range(10**9, 10**9 + 20_000).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h"))
+    stats = probe_sharded(absent, "h", filter_df, 8, SPEC) \
+        .groupBy().sum("n_probed", "n_contained").collect()[0]
+    assert stats[0] == 20_000
+    sk_params = SPEC.make().filter
+    assert stats[1] / 20_000 <= sk_params.max_error_ratio()
