@@ -23,7 +23,7 @@ from qfilter_spark.functions.ngrams import ngram_hashes
 from qfilter_spark.hashing import xxh64_str, xxh64_u64_chain
 from qfilter_spark import sketches
 
-from .conftest import N_DOCS  # shared session fixtures live in conftest
+from conftest import N_DOCS  # shared session fixtures live in conftest
 
 
 # ---------------------------------------------------------------------------
