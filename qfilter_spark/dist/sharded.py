@@ -110,7 +110,7 @@ def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
     shard; sum for global counts. Probes travel through one shuffle keyed
     by the same fingerprint-prefix shard function as the build.
     """
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import functions as F
 
     k = shard_bits_for(n_shards)
@@ -122,22 +122,26 @@ def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
             F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
             fs - k)).cast("int").alias("shard"))
 
-    def probe_group(key, probes_pdf: "pd.DataFrame", filt_pdf: "pd.DataFrame") -> "pd.DataFrame":
-        n = len(probes_pdf)
+    def probe_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        n = probes_tbl.num_rows
         if n == 0:
-            return pd.DataFrame({"shard": [], "n_probed": [], "n_contained": []})
-        if len(filt_pdf) == 0:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "n_probed": pa.array([], pa.int64()),
+                             "n_contained": pa.array([], pa.int64())})
+        if filt_tbl.num_rows == 0:
             hit = 0
         else:
-            sk = sketches.loads(filt_pdf["payload"].iloc[0])
-            h = probes_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
+            h = probes_tbl.column("h").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
             hit = int(sk.contains_hashes(h).sum())
-        return pd.DataFrame({"shard": [int(key[0])], "n_probed": [n],
-                             "n_contained": [hit]})
+        return pa.table({"shard": pa.array([key[0].as_py()], pa.int32()),
+                         "n_probed": pa.array([n], pa.int64()),
+                         "n_contained": pa.array([hit], pa.int64())})
 
     return (probes.groupBy("shard")
             .cogroup(filter_df.groupBy("shard"))
-            .applyInPandas(probe_group, "shard int, n_probed long, n_contained long"))
+            .applyInArrow(probe_group, "shard int, n_probed long, n_contained long"))
 
 
 def sharded_to_single(filter_df, spec: SketchSpec) -> bytes:

@@ -49,6 +49,22 @@ def ngram_hashes(flat: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
     return hashes[valid]
 
 
+def ngram_hash_rows(df, col: str = "tokens", n: int = 3):
+    """DataFrame of one int64 row ``h`` per within-doc n-gram (mapInArrow)."""
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            flat, offsets = flat_from_arrow(batch.column(col))
+            h = ngram_hashes(flat, offsets, n)
+            yield pa.record_batch([pa.array(h.view(np.int64), pa.int64())],
+                                  names=["h"])
+
+    return df.select(col).mapInArrow(run, "h long")
+
+
 def ngram_hashes_per_doc(flat: np.ndarray, offsets: np.ndarray, n: int
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Like :func:`ngram_hashes` but also returns the doc index per hash."""

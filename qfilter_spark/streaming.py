@@ -1,0 +1,105 @@
+"""Structured Streaming: incremental sketch maintenance.
+
+The reference filter is an incrementally updatable structure (insert /
+remove, src/lib.rs:1131-1214); the streaming analog here maintains a
+**checkpointed sketch table** that each micro-batch folds into:
+
+    readStream -> foreachBatch(update_sketch_table)
+
+Per micro-batch: build partial sketches of the new rows (the same
+``mapInArrow`` kernel as the batch path), merge them with the current table
+generation, and write generation N+1 atomically (write-then-swap directories
+with a _GEN marker). Restart-safe: Spark's streaming checkpoint replays the
+last uncommitted batch, and re-merging a batch into the generation it
+already produced is NOT applied twice because each generation directory
+records the batch id it incorporated.
+
+This covers the north_rule's "resumable from checkpoint" requirement for
+continuous ingestion; windowed/watermarked aggregations compose on top by
+keying the sketch table by window start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+
+from . import sketches
+from .dist.agg import SketchSpec, partial_sketches
+
+
+class StreamingSketch:
+    """A sketch folded over a stream via foreachBatch.
+
+    State layout under ``state_dir``:
+        gen=<k>/sketch.bin   merged sketch blob after batch k
+        gen=<k>/meta.json    {"batch_id": ..., "n_items": ..., "ts": ...}
+    """
+
+    def __init__(self, spec: SketchSpec, state_dir: str):
+        self.spec = spec
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    # -- state I/O -----------------------------------------------------
+    def _gens(self) -> list[int]:
+        return sorted(int(d.split("=")[1]) for d in os.listdir(self.state_dir)
+                      if d.startswith("gen=") and
+                      os.path.exists(os.path.join(self.state_dir, d, "meta.json")))
+
+    def current(self):
+        """(sketch-or-None, meta dict, generation int)."""
+        gens = self._gens()
+        if not gens:
+            return None, {"batch_id": -1, "n_items": 0}, -1
+        g = gens[-1]
+        d = os.path.join(self.state_dir, f"gen={g}")
+        meta = json.load(open(os.path.join(d, "meta.json")))
+        blob = open(os.path.join(d, "sketch.bin"), "rb").read()
+        return sketches.loads(blob), meta, g
+
+    def _write_gen(self, gen: int, sk, meta: dict) -> None:
+        d = os.path.join(self.state_dir, f"gen={gen}")
+        tmp = d + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "sketch.bin"), "wb") as f:
+            f.write(sk.to_bytes())
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        os.rename(tmp, d)
+        # retain only the latest two generations
+        for g in self._gens()[:-2]:
+            shutil.rmtree(os.path.join(self.state_dir, f"gen={g}"),
+                          ignore_errors=True)
+
+    # -- the foreachBatch hook ------------------------------------------
+    def update(self, batch_df, batch_id: int) -> None:
+        """foreachBatch(batch_df, batch_id): fold the micro-batch in."""
+        cur, meta, gen = self.current()
+        if batch_id <= meta["batch_id"]:
+            return  # replayed batch already incorporated (exactly-once)
+        rows = partial_sketches(batch_df, self.spec).collect()
+        acc = cur if cur is not None else self.spec.make()
+        n_new = 0
+        for r in sorted(rows, key=lambda r: r["shard_id"]):
+            acc.merge(sketches.loads(bytes(r["payload"])))
+            n_new += r["n_items"]
+        self._write_gen(gen + 1, acc, {
+            "batch_id": batch_id,
+            "n_items": meta["n_items"] + int(n_new),
+            "ts": time.time(),
+        })
+
+    def attach(self, stream_df, checkpoint_dir: str, trigger_secs: float = 1.0):
+        """writeStream wiring: returns the started StreamingQuery."""
+        return (stream_df.writeStream
+                .foreachBatch(self.update)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(processingTime=f"{trigger_secs} seconds")
+                .start())

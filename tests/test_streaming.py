@@ -1,0 +1,70 @@
+"""Structured Streaming: sketch folded over micro-batches, replay-safe."""
+
+import numpy as np
+import pytest
+
+from qfilter_spark import sketches
+from qfilter_spark.dist.agg import SketchSpec
+from qfilter_spark.hashing import xxh64_i64
+from qfilter_spark.streaming import StreamingSketch
+
+
+def test_streaming_sketch_accumulates(spark, tmp_path):
+    spec = SketchSpec("rsqf", dict(capacity=50_000, fp_rate=0.01), "hash_col", "h")
+    ss = StreamingSketch(spec, str(tmp_path / "state"))
+
+    # drive update() exactly as foreachBatch would, including a replay
+    from pyspark.sql import functions as F
+    batches = [spark.range(i * 1000, (i + 1) * 1000)
+               .select(F.xxhash64(F.col("id").cast("long")).alias("h"))
+               for i in range(4)]
+    ss.update(batches[0], 0)
+    ss.update(batches[1], 1)
+    ss.update(batches[1], 1)  # replayed micro-batch: must be a no-op
+    ss.update(batches[2], 2)
+    ss.update(batches[3], 3)
+
+    sk, meta, gen = ss.current()
+    assert meta["n_items"] == 4000
+    assert len(sk.filter) == 4000
+    probe = xxh64_i64(np.arange(4000, dtype=np.int64))
+    assert sk.contains_hashes(probe).all()
+
+
+def test_streaming_restart_resumes(spark, tmp_path):
+    spec = SketchSpec("hll", dict(p=12), "hash_col", "h")
+    state = str(tmp_path / "state2")
+    from pyspark.sql import functions as F
+
+    ss1 = StreamingSketch(spec, state)
+    ss1.update(spark.range(0, 5000).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h")), 0)
+    # simulate process restart: new object over the same state dir
+    ss2 = StreamingSketch(spec, state)
+    ss2.update(spark.range(5000, 10000).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h")), 1)
+    sk, meta, _ = ss2.current()
+    est = sk.estimate()
+    assert abs(est - 10_000) <= 4 * sk.relative_sd() * 10_000
+
+
+@pytest.mark.slow
+def test_streaming_end_to_end_rate_source(spark, tmp_path):
+    """Real writeStream with a rate source (marked slow)."""
+    from pyspark.sql import functions as F
+    spec = SketchSpec("rsqf", dict(capacity=100_000, fp_rate=0.01), "hash_col", "h")
+    ss = StreamingSketch(spec, str(tmp_path / "state3"))
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", "5000").load()
+              .select(F.xxhash64(F.col("value").cast("long")).alias("h")))
+    q = ss.attach(stream, str(tmp_path / "ckpt"), trigger_secs=0.5)
+    import time
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        sk, meta, _ = ss.current()
+        if sk is not None and meta["n_items"] > 2000:
+            break
+        time.sleep(0.5)
+    q.stop()
+    sk, meta, _ = ss.current()
+    assert sk is not None and meta["n_items"] > 0
+    assert len(sk.filter) == meta["n_items"]
