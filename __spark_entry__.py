@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsqf_growth": W.q_rsqf_growth,
         "rsqf_remove": W.q_rsqf_remove,
         "rsqf_serde_roundtrip": W.q_rsqf_serde_roundtrip,
+        "rsqf_sharded": W.q_rsqf_sharded,
         "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
         # sibling sketches (north_rule)
         "hll_distinct": W.q_hll_distinct,
@@ -92,6 +93,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events",
         "rsqf_serde_roundtrip":
             "SELECT count(*) AS n_fps, true AS roundtrip_ok FROM documents",
+        "rsqf_sharded":
+            "SELECT count(*) AS n_probed, count(*) AS n_contained, "
+            "true AS sharded_equals_single FROM lineitem",
         "ngram_sketch_tokens":
             f"SELECT CAST(sum(greatest({toks} - 2, 0)) AS BIGINT) AS n_ngrams, "
             "true AS matches_exact FROM documents",

@@ -47,6 +47,34 @@ def make_session(cores: int):
             .getOrCreate())
 
 
+def measure_host_parallelism(n_procs: list[int], secs: float = 3.0) -> dict[int, float]:
+    """Raw achievable parallel speedup of this host (numpy uint64 kernel).
+
+    The sandbox advertises 32 vCPUs but is time-sliced with significant
+    steal; this measures what parallel efficiency is physically available
+    RIGHT NOW, so Spark's scaling can be normalized against it.
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def cpu_work(_):
+        x = np.arange(200_000, dtype=np.uint64)
+        t0 = time.perf_counter()
+        it = 0
+        while time.perf_counter() - t0 < secs:
+            x = x * np.uint64(0x9E3779B185EBCA87)
+            x ^= x >> np.uint64(29)
+            it += 1
+        return it
+
+    out = {}
+    for n in n_procs:
+        with mp.Pool(n) as p:
+            out[n] = float(sum(p.map(cpu_work, range(n))))
+    return out
+
+
 def ensure_corpus(n_docs: int) -> str:
     path = os.path.join(CACHE, f"corpus_{n_docs}")
     marker = os.path.join(path, "_DONE")
@@ -72,8 +100,8 @@ def headline_job(spark, corpus_path: str, fp_rate: float = 0.01,
     from pyspark.sql import functions as F
 
     from qfilter_spark.dist import SketchSpec
-    from qfilter_spark.dist.sharded import build_sharded_filter, probe_sharded
-    from qfilter_spark.functions.ngrams import ngram_hash_rows
+    from qfilter_spark.dist.sharded import (
+        build_sharded_filter, probe_sharded, probe_sharded_chunks)
 
     df = spark.read.parquet(corpus_path)
     n_parts = spark.sparkContext.defaultParallelism * 2
@@ -96,10 +124,10 @@ def headline_job(spark, corpus_path: str, fp_rate: float = 0.01,
     stored = filter_df.groupBy().sum("n_fps").collect()[0][0]
     assert stored == total_ngrams, (stored, total_ngrams)
 
-    # query phase: re-derive every present n-gram, probe via sharded join
+    # query phase: re-derive every present n-gram, probe via sorted-chunk
+    # co-partitioned join (no per-row shuffle)
     t1 = time.perf_counter()
-    probes = ngram_hash_rows(df, "tokens", 3)
-    stats = probe_sharded(probes, "h", filter_df, n_shards, spec) \
+    stats = probe_sharded_chunks(df, spec, filter_df, n_shards, spec) \
         .groupBy().sum("n_probed", "n_contained").collect()[0]
     n_probed, n_hit = int(stats[0]), int(stats[1])
     query_secs = time.perf_counter() - t1
@@ -183,12 +211,18 @@ def main():
 
     if do_scaling:
         # N vs 4N protocol (BASELINE.md). The sandbox advertises 32 vCPUs but
-        # delivers ~12 cores of parallel compute (measured: 8 procs -> 7.8x,
-        # 32 procs -> 12.4x), so the honest N-vs-4N pair that stays inside
-        # the physically-backed region is local[2] vs local[8].
+        # is time-sliced with heavy, bursty steal (~12 effective cores at
+        # best), so raw Spark throughput ratios are confounded by what the
+        # host gives at that moment. Protocol: measure the host's achievable
+        # parallel speedup (raw numpy workers) bracketing each Spark run and
+        # report BOTH the raw efficiency and the host-normalized efficiency
+        # (spark speedup / host-achievable speedup).
+        n_lo, n_hi = 2, 8
         thr = {}
-        for cores in [2, 8]:
+        host = {}
+        for cores in [n_lo, n_hi]:
             log(f"=== scaling run @ local[{cores}] ===")
+            host_before = measure_host_parallelism([cores])
             s = make_session(cores)
             s.sparkContext.setLogLevel("ERROR")
             best = None
@@ -197,16 +231,25 @@ def main():
                 if best is None or h["tokens_per_sec_m"] > best["tokens_per_sec_m"]:
                     best = h
             s.stop()
+            host_after = measure_host_parallelism([cores])
+            host[cores] = max(host_before[cores], host_after[cores])
             thr[cores] = best["tokens_per_sec_m"]
             log(f"local[{cores}]: {best['tokens_per_sec_m']:.2f} M tokens/s "
-                f"(build {best['build_secs']:.1f}s, query {best['query_secs']:.1f}s)")
+                f"(build {best['build_secs']:.1f}s, query {best['query_secs']:.1f}s); "
+                f"host raw iters {host[cores]:.0f}")
+        spark_speedup = thr[n_hi] / thr[n_lo]
+        host_speedup = host[n_hi] / host[n_lo]
         result["scaling"] = {
-            "cores_n": 2, "cores_4n": 8,
-            "tokens_per_sec_m_n": round(thr[2], 3),
-            "tokens_per_sec_m_4n": round(thr[8], 3),
-            "efficiency": round(thr[8] / thr[2] / 4, 3),
-            "note": "sandbox delivers ~12 effective cores for 32 vCPUs; "
-                    "N=2 vs 4N=8 stays in the physically-backed region",
+            "cores_n": n_lo, "cores_4n": n_hi,
+            "tokens_per_sec_m_n": round(thr[n_lo], 3),
+            "tokens_per_sec_m_4n": round(thr[n_hi], 3),
+            "spark_speedup": round(spark_speedup, 3),
+            "host_achievable_speedup": round(host_speedup, 3),
+            "efficiency_raw": round(spark_speedup / 4, 3),
+            "efficiency_vs_host": round(spark_speedup / host_speedup, 3),
+            "note": "host is a time-sliced VM with bursty CPU steal; "
+                    "efficiency_vs_host normalizes by concurrently-measured "
+                    "achievable parallel speedup",
         }
         log(json.dumps(result["scaling"]))
 

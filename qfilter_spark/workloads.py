@@ -146,6 +146,29 @@ def q_rsqf_serde_roundtrip(spark, sf_dir):
     return _one_row(spark, n_fps=len(sk.filter), roundtrip_ok=bool(ok))
 
 
+def q_rsqf_sharded(spark, sf_dir):
+    """Range-sharded filter == single-blob filter; sharded probe finds all.
+
+    The 100TB layout (dist/sharded.py): filter partitioned by fingerprint
+    prefix into a table of shards; probe via co-partitioned group join.
+    """
+    from .dist.sharded import build_sharded_filter, probe_sharded, sharded_to_single
+
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey")
+    n = li.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    n_shards = 16
+    filter_df = build_sharded_filter(li, spec, n_shards=n_shards)
+    single = sketches.loads(build_sketch(li, spec, fan_in=8))
+    merged = sketches.loads(sharded_to_single(filter_df, spec))
+    identical = bool(np.array_equal(merged.filter.fingerprints(),
+                                    single.filter.fingerprints()))
+    stats = probe_sharded(li, "h", filter_df, n_shards, spec) \
+        .groupBy().sum("n_probed", "n_contained").collect()[0]
+    return _one_row(spark, n_probed=int(stats[0]), n_contained=int(stats[1]),
+                    sharded_equals_single=identical)
+
+
 # ---------------------------------------------------------------------------
 # sibling sketches
 # ---------------------------------------------------------------------------

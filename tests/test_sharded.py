@@ -58,3 +58,14 @@ def test_sharded_probe_absent_fpr(spark, hashed_df):  # noqa: F811
     assert stats[0] == 20_000
     sk_params = SPEC.make().filter
     assert stats[1] / 20_000 <= sk_params.max_error_ratio()
+
+
+def test_probe_sharded_chunks_matches_row_probe(spark, hashed_df):
+    from qfilter_spark.dist.sharded import probe_sharded_chunks
+    filter_df = build_sharded_filter(hashed_df, SPEC, n_shards=8)
+    row_stats = probe_sharded(hashed_df, "h", filter_df, 8, SPEC) \
+        .groupBy().sum("n_probed", "n_contained").collect()[0]
+    chunk_stats = probe_sharded_chunks(hashed_df, SPEC, filter_df, 8, SPEC) \
+        .groupBy().sum("n_probed", "n_contained").collect()[0]
+    assert tuple(row_stats) == tuple(chunk_stats)
+    assert chunk_stats[0] == chunk_stats[1]  # all present
