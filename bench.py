@@ -47,6 +47,18 @@ def make_session(cores: int):
             .getOrCreate())
 
 
+def _cpu_work(secs: float) -> int:
+    import numpy as np
+    x = np.arange(200_000, dtype=np.uint64)
+    t0 = time.perf_counter()
+    it = 0
+    while time.perf_counter() - t0 < secs:
+        x = x * np.uint64(0x9E3779B185EBCA87)
+        x ^= x >> np.uint64(29)
+        it += 1
+    return it
+
+
 def measure_host_parallelism(n_procs: list[int], secs: float = 3.0) -> dict[int, float]:
     """Raw achievable parallel speedup of this host (numpy uint64 kernel).
 
@@ -56,22 +68,10 @@ def measure_host_parallelism(n_procs: list[int], secs: float = 3.0) -> dict[int,
     """
     import multiprocessing as mp
 
-    import numpy as np
-
-    def cpu_work(_):
-        x = np.arange(200_000, dtype=np.uint64)
-        t0 = time.perf_counter()
-        it = 0
-        while time.perf_counter() - t0 < secs:
-            x = x * np.uint64(0x9E3779B185EBCA87)
-            x ^= x >> np.uint64(29)
-            it += 1
-        return it
-
     out = {}
     for n in n_procs:
         with mp.Pool(n) as p:
-            out[n] = float(sum(p.map(cpu_work, range(n))))
+            out[n] = float(sum(p.map(_cpu_work, [secs] * n)))
     return out
 
 

@@ -214,6 +214,51 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
             .applyInArrow(probe_group, "shard int, n_probed long, n_contained long"))
 
 
+def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
+                   spec: SketchSpec):
+    """Distributed remove: retractions shuffle to their fingerprint shard.
+
+    Each shard applies the batch locally (one occurrence removed per request
+    when present — reference remove semantics, src/lib.rs:1072-1129, with the
+    same collision caveat). Returns the new filter DataFrame; removals of
+    absent fingerprints are ignored (count clamped at zero), implementing
+    the "counting merge with signed multiplicities" plan from SURVEY.md §2.1
+    row 10.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    k = shard_bits_for(n_shards)
+    qbits, rbits, fs = _fp_meta(spec)
+    keep = getattr(spec.make(), "keep_duplicates", True)
+
+    removals = removals_df.select(
+        F.col(hash_col).alias("h"),
+        (F.shiftrightunsigned(
+            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
+            fs - k)).cast("int").alias("shard"))
+
+    def apply_removals(key, rem_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        if filt_tbl.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int32()),
+                             "n_fps": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary())})
+        sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
+        if rem_tbl.num_rows:
+            h = rem_tbl.column("h").to_numpy(zero_copy_only=False) \
+                .astype(np.int64).view(np.uint64)
+            sk.filter.remove_hashes(h)
+        blob = sketches.RsqfSketch(
+            Filter(qbits, rbits, None, sk.filter.fingerprints()), keep).to_bytes()
+        return pa.table({"shard": pa.array([key[0].as_py()], pa.int32()),
+                         "n_fps": pa.array([len(sk.filter)], pa.int64()),
+                         "payload": pa.array([blob], pa.binary())})
+
+    return (removals.groupBy("shard")
+            .cogroup(filter_df.groupBy("shard"))
+            .applyInArrow(apply_removals, SHARDED_SCHEMA))
+
+
 def sharded_to_single(filter_df, spec: SketchSpec) -> bytes:
     """Collapse the shard table to one blob (for parity tests / export)."""
     rows = sorted(filter_df.collect(), key=lambda r: r["shard"])

@@ -309,6 +309,36 @@ class Filter:
         merged.sort(kind="stable")
         self._fps = merged
 
+    def remove_hashes(self, hashes: np.ndarray) -> int:
+        """Batch remove: one occurrence per request, if present.
+
+        Returns the number actually removed. Multiset semantics match a
+        sequence of ``remove_fingerprint`` calls (order-independent result:
+        per fingerprint, removed = min(requests, present)). This is the
+        retraction kernel for distributed counting filters (SURVEY.md §7
+        "counting-remove semantics distributed").
+        """
+        fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
+        if fps.size == 0 or self._fps.size == 0:
+            return 0
+        req_fp, req_n = np.unique(fps, return_counts=True)
+        lo = np.searchsorted(self._fps, req_fp, side="left")
+        hi = np.searchsorted(self._fps, req_fp, side="right")
+        present = hi - lo
+        take = np.minimum(req_n, present)
+        removed = int(take.sum())
+        if removed == 0:
+            return 0
+        # keep (present - take) copies of each requested fp: drop a prefix of
+        # each equal-run (all copies are identical values)
+        drop = np.zeros(self._fps.size + 1, dtype=np.int64)
+        starts = lo
+        np.add.at(drop, starts, 1)
+        np.add.at(drop, starts + take, -1)
+        in_drop = np.cumsum(drop[:-1]) > 0
+        self._fps = self._fps[~in_drop]
+        return removed
+
     # ------------------------------------------------------------------
     # merge / grow / shrink (src/lib.rs:1311-1377)
     # ------------------------------------------------------------------

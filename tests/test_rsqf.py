@@ -407,3 +407,21 @@ def test_model_based_fingerprints_exact_multiset(seed):
     got = sorted(int(x) for x in f.fingerprints())
     assert got == want
     assert len(f) == len(model)
+
+
+def test_remove_hashes_batch_matches_sequential():
+    from qfilter_spark.hashing import xxh64_i64
+    rng = np.random.default_rng(17)
+    items = rng.integers(0, 300, size=2000).astype(np.int64)
+    hashes = xxh64_i64(items)
+    f1 = Filter.new(4000, 0.001)
+    f1.insert_hashes(hashes)
+    f2 = Filter.from_bytes(f1.to_bytes())
+    # removal requests: some present many times, some absent
+    req_items = np.concatenate([items[:500], np.arange(10_000, 10_100)])
+    req = xxh64_i64(req_items.astype(np.int64))
+    n_batch = f1.remove_hashes(req)
+    n_seq = sum(f2.remove_fingerprint(int(h)) for h in req)
+    assert n_batch == n_seq
+    assert np.array_equal(f1.fingerprints(), f2.fingerprints())
+    assert len(f1) == 2000 - n_batch

@@ -69,3 +69,25 @@ def test_probe_sharded_chunks_matches_row_probe(spark, hashed_df):
         .groupBy().sum("n_probed", "n_contained").collect()[0]
     assert tuple(row_stats) == tuple(chunk_stats)
     assert chunk_stats[0] == chunk_stats[1]  # all present
+
+
+def test_remove_sharded_matches_single_node(spark, hashed_df):
+    from pyspark.sql import functions as F
+    from qfilter_spark.dist.sharded import remove_sharded
+    filter_df = build_sharded_filter(hashed_df, SPEC, n_shards=8)
+    removals = hashed_df.where("n_tok % 2 = 0").select("h")
+    n_remove = removals.count()
+    new_filter = remove_sharded(filter_df, removals, "h", 8, SPEC)
+    merged = sketches.loads(sharded_to_single(new_filter, SPEC))
+
+    # single-node reference: same removals on the collapsed filter
+    single = sketches.loads(sharded_to_single(filter_df, SPEC))
+    h = np.array([r["h"] for r in removals.collect()], dtype=np.int64).view(np.uint64)
+    single.filter.remove_hashes(h)
+    assert np.array_equal(merged.filter.fingerprints(), single.filter.fingerprints())
+    assert len(merged.filter) == hashed_df.count() - n_remove
+    # remaining rows all still contained
+    keep = hashed_df.where("n_tok % 2 != 0")
+    stats = probe_sharded(keep, "h", new_filter, 8, SPEC) \
+        .groupBy().sum("n_probed", "n_contained").collect()[0]
+    assert stats[0] == stats[1]
