@@ -4,9 +4,11 @@ Headline job (BASELINE.json metric): distributed RSQF membership
 insert+query throughput in M tokens/sec — build an RSQF over all token
 3-grams of the F1 synthetic corpus (scaled to the sf under test), then probe
 every present n-gram plus 50k absent keys; report observed FPR vs the 1%
-bound. The same job runs at two parallelism levels (local[8] vs local[32])
-as the sandbox stand-in for N vs 4N executors (BASELINE.md protocol);
-scaling efficiency = (throughput_32 / throughput_8) / 4.
+bound. The same job runs at two parallelism levels (local[1] vs local[4],
+the region of this time-sliced sandbox that is physically backed — see
+BENCH/BASELINE.md) as the stand-in for N vs 4N executors; scaling
+efficiency = (throughput_4N / throughput_N) / 4, reported both raw and
+normalized by concurrently-measured host parallel capacity.
 
 Prints ONE JSON line to stdout:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
@@ -16,7 +18,9 @@ Prints ONE JSON line to stdout:
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      QFS_BENCH_DOCS (corpus size override),
-     QFS_SCALING=0 to skip the local[8] rerun.
+     QFS_SCALING_DOCS (scaling-run corpus size, default 100000),
+     QFS_REPEATS (best-of repeats, default 2),
+     QFS_SCALING=0 to skip the N-vs-4N scaling runs.
 """
 
 from __future__ import annotations
@@ -44,6 +48,10 @@ def make_session(cores: int):
             .config("spark.sql.adaptive.enabled", "true")
             .config("spark.ui.enabled", "false")
             .config("spark.driver.memory", "48g")
+            # small Arrow batches keep numpy temporaries allocator-resident:
+            # this sandbox's page-fault throughput saturates under parallel
+            # first-touch of large fresh allocations
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
             .getOrCreate())
 
 
@@ -178,6 +186,7 @@ def main():
     do_scaling = os.environ.get("QFS_SCALING", "1") != "0"
 
     corpus_path = ensure_corpus(n_docs)
+    scaling_docs = int(os.environ.get("QFS_SCALING_DOCS", "100000"))
 
     repeats = int(os.environ.get("QFS_REPEATS", "2"))
     log(f"=== headline @ local[{cpus}] (best of {repeats}; host is noisy) ===")
@@ -217,7 +226,8 @@ def main():
         # parallel speedup (raw numpy workers) bracketing each Spark run and
         # report BOTH the raw efficiency and the host-normalized efficiency
         # (spark speedup / host-achievable speedup).
-        n_lo, n_hi = 2, 8
+        n_lo, n_hi = 1, 4
+        scaling_corpus = ensure_corpus(scaling_docs)
         thr = {}
         host = {}
         for cores in [n_lo, n_hi]:
@@ -227,7 +237,7 @@ def main():
             s.sparkContext.setLogLevel("ERROR")
             best = None
             for rep in range(repeats):
-                h = headline_job(s, corpus_path)
+                h = headline_job(s, scaling_corpus)
                 if best is None or h["tokens_per_sec_m"] > best["tokens_per_sec_m"]:
                     best = h
             s.stop()
