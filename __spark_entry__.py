@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": W.q_ann_bruteforce,
         "ann_lsh_recall": W.q_ann_lsh_recall,
         "multimodal_stats": W.q_multimodal_stats,
+        # streaming
+        "streaming_sketch": W.q_streaming_sketch,
     }
 
 
@@ -152,6 +154,8 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE rnk <= 10",
         "ann_lsh_recall":
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+        "streaming_sketch":
+            "SELECT count(*) AS n_items, true AS len_matches FROM events",
         "multimodal_stats":
             "SELECT count(*) AS n_media, "
             "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "

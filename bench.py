@@ -236,7 +236,7 @@ def main():
             s = make_session(cores)
             s.sparkContext.setLogLevel("ERROR")
             best = None
-            for rep in range(repeats):
+            for rep in range(max(repeats, 3)):  # ratios need extra reps on this host
                 h = headline_job(s, scaling_corpus)
                 if best is None or h["tokens_per_sec_m"] > best["tokens_per_sec_m"]:
                     best = h

@@ -419,3 +419,24 @@ class Filter:
         return (f"Filter(qbits={self.qbits}, rbits={self.rbits}, "
                 f"max_qbits={self.max_qbits}, len={len(self)}, "
                 f"capacity={self.capacity()})")
+
+    def debug_dump(self, max_blocks: int = 4) -> str:
+        """Physical-layout diagnostic, mirroring the reference's printout
+        (src/lib.rs:1413-1446): per-block offset byte + occupieds/runends
+        bitvectors rendered from the blocked encoding."""
+        from . import blocks as _blocks
+        lines = [f"=== q {self.qbits} r {self.rbits} len {len(self)} "
+                 f"cap {self.capacity()} ==="]
+        payload = np.frombuffer(_blocks.encode(self._fps, self.qbits, self.rbits),
+                                dtype=np.uint8).reshape(self.total_blocks(), -1)
+        for b in range(min(self.total_blocks(), max_blocks)):
+            row = payload[b]
+            occ = int.from_bytes(row[1:9].tobytes(), "little")
+            run = int.from_bytes(row[9:17].tobytes(), "little")
+            lines.append(f"block {b} offset {row[0]}")
+            lines.append(f"occup {occ:064b}")
+            lines.append(f"runen {run:064b}")
+        if self.total_blocks() > max_blocks:
+            lines.append(f"... {self.total_blocks() - max_blocks} more blocks")
+        lines.append("===")
+        return "\n".join(lines)

@@ -323,6 +323,29 @@ def q_doc_fingerprint(spark, sf_dir):
                  F.countDistinct("fp").alias("n_distinct_fp")))
 
 
+def q_streaming_sketch(spark, sf_dir):
+    """Micro-batch sketch maintenance (Structured Streaming foreachBatch
+    path driven deterministically over the events table, with a replay)."""
+    import tempfile
+
+    from .dist.agg import SketchSpec as SS
+    from .streaming import StreamingSketch
+
+    ev = _hashed(load(spark, sf_dir, "events"), "event_id")
+    n = ev.count()
+    spec = SS("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    with tempfile.TemporaryDirectory() as d:
+        ss = StreamingSketch(spec, d)
+        thirds = [ev.where(f"event_id % 3 = {i}") for i in range(3)]
+        ss.update(thirds[0], 0)
+        ss.update(thirds[1], 1)
+        ss.update(thirds[1], 1)  # replayed micro-batch: must be a no-op
+        ss.update(thirds[2], 2)
+        sk, meta, _ = ss.current()
+    return _one_row(spark, n_items=int(meta["n_items"]),
+                    len_matches=bool(len(sk.filter) == n))
+
+
 # ---------------------------------------------------------------------------
 # similarity search / multimodal
 # ---------------------------------------------------------------------------
