@@ -32,6 +32,45 @@ from . import sketches
 from .dist.agg import SketchSpec, partial_sketches
 
 
+def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
+                        hash_col: str = "h"):
+    """Per-key streaming sketches via ``applyInPandasWithState``.
+
+    A custom stateful operator (the prompt's 'applyInPandasWithState for
+    custom stateful operators' pattern): Spark's state store holds one
+    sketch blob per key; every trigger folds the key's new rows in and
+    emits (key, n_items, sketch_len). Output mode: Update.
+
+    Returns the transformed streaming DataFrame (caller starts the query).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            blob, n_items = state.get
+            sk = sketches.loads(bytes(blob))
+        else:
+            sk, n_items = spec.make(), 0
+        for pdf in pdf_iter:
+            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            sk.update_hashes(h)
+            n_items += int(h.size)
+        state.update((sk.to_bytes(), n_items))
+        length = len(sk.filter) if hasattr(sk, "filter") else n_items
+        yield pd.DataFrame({key_col: [key[0]], "n_items": [n_items],
+                            "sketch_len": [int(length)]})
+
+    return (stream_df
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                fold,
+                outputStructType=f"{key_col} long, n_items long, sketch_len long",
+                stateStructType="blob binary, n_items long",
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 class StreamingSketch:
     """A sketch folded over a stream via foreachBatch.
 

@@ -68,3 +68,35 @@ def test_streaming_end_to_end_rate_source(spark, tmp_path):
     sk, meta, _ = ss.current()
     assert sk is not None and meta["n_items"] > 0
     assert len(sk.filter) == meta["n_items"]
+
+
+@pytest.mark.slow
+def test_keyed_sketch_stream_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator: per-key RSQF maintained in the state store."""
+    from pyspark.sql import functions as F
+    from qfilter_spark.streaming import keyed_sketch_stream
+
+    spec = SketchSpec("rsqf", dict(capacity=200_000, fp_rate=0.01), "hash_col", "h")
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", "4000").load()
+              .select((F.col("value") % 4).alias("k"),
+                      F.xxhash64(F.col("value").cast("long")).alias("h")))
+    out = keyed_sketch_stream(stream, spec, key_col="k")
+    q = (out.writeStream.format("memory").queryName("keyed_sketches")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_keyed"))
+         .trigger(processingTime="1 seconds")
+         .start())
+    import time
+    deadline = time.time() + 30
+    latest = {}
+    while time.time() < deadline:
+        for r in spark.sql("SELECT * FROM keyed_sketches").collect():
+            cur = latest.get(r["k"], (0, 0))
+            latest[r["k"]] = max(cur, (r["n_items"], r["sketch_len"]))
+        if len(latest) == 4 and all(v[0] > 500 for v in latest.values()):
+            break
+        time.sleep(1)
+    q.stop()
+    assert len(latest) == 4, latest
+    for k, (n, length) in latest.items():
+        assert n > 0 and length == n, (k, n, length)  # distinct values => len == n
