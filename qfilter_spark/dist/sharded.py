@@ -32,6 +32,60 @@ from .agg import SketchSpec
 
 SHARDED_SCHEMA = "shard int, n_fps long, payload binary"
 
+_FMT_RAW64 = 0
+_FMT_REL32 = 1
+
+
+def _pack_chunk(fps: np.ndarray, shard: int, range_bits: int) -> bytes:
+    """Encode a shard's sorted fingerprints, shard-relative.
+
+    Within shard s, every fingerprint lies in [s << range_bits,
+    (s+1) << range_bits); when the range fits 32 bits the chunk ships as
+    uint32 offsets from the shard base — halves shuffle bytes with a
+    zero-cost decode (add the base back).
+    """
+    if range_bits <= 32:
+        base = np.uint64(shard) << np.uint64(range_bits)
+        rel = (fps - base).astype(np.uint32)
+        return bytes([_FMT_REL32]) + rel.tobytes()
+    return bytes([_FMT_RAW64]) + fps.tobytes()
+
+
+def _unpack_chunk(buf, shard: int, range_bits: int) -> np.ndarray:
+    mv = memoryview(buf)
+    fmt = mv[0]
+    if fmt == _FMT_REL32:
+        base = np.uint64(shard) << np.uint64(range_bits)
+        rel = np.frombuffer(mv, dtype=np.uint32, offset=1)
+        return rel.astype(np.uint64) + base
+    return np.frombuffer(mv, dtype=np.uint64, offset=1)
+
+
+def _shard_blob(fps_global: np.ndarray, shard: int, local_qbits: int,
+                rbits: int, keep: bool) -> bytes:
+    """Shard-local quotient filter blob in the blocked physical format.
+
+    Each shard stores its fingerprints relative to its own base (the top k
+    quotient bits are the shard id), as a (qbits-k, rbits) filter — exactly
+    how the reference structure partitions by quotient prefix. Blocked
+    at-rest layout: ~(17 + 8*rbits)/64 bytes per slot (src/lib.rs:570-572)
+    instead of 8 bytes per fingerprint. Local qbits grows if a hot shard
+    exceeds its 95% load (fingerprints are value-stable through growth).
+    Probes must mask to the shard-local fingerprint width (see callers).
+    """
+    fs_local = local_qbits + rbits
+    base = np.uint64(shard) << np.uint64(fs_local)
+    local = fps_global - base
+    q = max(local_qbits, 6)
+    while fps_global.size > ((1 << q) * 19 + 19) // 20:
+        q += 1
+    filt = Filter(q, rbits, None, local)
+    return sketches.RsqfSketch(filt, keep).to_blocks_bytes()
+
+
+def _local_mask(fs: int, k: int) -> np.uint64:
+    return np.uint64((1 << (fs - k)) - 1)
+
 
 def _fp_meta(spec: SketchSpec) -> tuple[int, int, int]:
     """(qbits, rbits, fingerprint_size) of the spec's filter params."""
@@ -79,7 +133,8 @@ def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64):
         yield pa.record_batch([
             pa.array(shards, pa.int32()),
             pa.array([int(chunks[s].size) for s in shards], pa.int64()),
-            pa.array([chunks[s].tobytes() for s in shards], pa.binary()),
+            pa.array([_pack_chunk(chunks[s], s, fs - k) for s in shards],
+                     pa.binary()),
         ], names=["shard", "n_fps", "payload"])
 
     chunks_df = df.select(spec.col).mapInArrow(emit_chunks, SHARDED_SCHEMA)
@@ -89,13 +144,13 @@ def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64):
     keep = getattr(spec.make(), "keep_duplicates", True)
 
     def merge_shard(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        runs = [np.frombuffer(p, dtype=np.uint64) for p in pdf["payload"]]
+        shard = int(key[0])
+        runs = [_unpack_chunk(p, shard, fs - k) for p in pdf["payload"]]
         fps = np.concatenate(runs) if runs else np.empty(0, dtype=np.uint64)
         fps.sort(kind="stable")  # timsort: adaptive on concatenated sorted runs
         if not keep:
             fps = np.unique(fps)
-        filt = Filter(qbits, rbits, None, fps)
-        blob = sketches.RsqfSketch(filt, keep).to_bytes()
+        blob = _shard_blob(fps, shard, qbits - k, rbits, keep)
         return pd.DataFrame({"shard": [int(key[0])], "n_fps": [int(fps.size)],
                              "payload": [blob]})
 
@@ -134,7 +189,7 @@ def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
             sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
             h = probes_tbl.column("h").to_numpy(zero_copy_only=False) \
                 .astype(np.int64).view(np.uint64)
-            hit = int(sk.contains_hashes(h).sum())
+            hit = int(sk.contains_hashes(h & _local_mask(fs, k)).sum())
         return pa.table({"shard": pa.array([key[0].as_py()], pa.int32()),
                          "n_probed": pa.array([n], pa.int64()),
                          "n_contained": pa.array([hit], pa.int64())})
@@ -184,7 +239,8 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
         yield pa.record_batch([
             pa.array(shards, pa.int32()),
             pa.array([int(chunks[s].size) for s in shards], pa.int64()),
-            pa.array([chunks[s].tobytes() for s in shards], pa.binary()),
+            pa.array([_pack_chunk(chunks[s], s, fs - k) for s in shards],
+                     pa.binary()),
         ], names=["shard", "n_fps", "payload"])
 
     probe_chunks = df.select(spec_in.col).mapInArrow(emit_probe_chunks, SHARDED_SCHEMA)
@@ -194,14 +250,17 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
             return pa.table({"shard": pa.array([], pa.int32()),
                              "n_probed": pa.array([], pa.int64()),
                              "n_contained": pa.array([], pa.int64())})
-        qs = [np.frombuffer(p.as_py(), dtype=np.uint64)
+        shard = key[0].as_py()
+        qs = [_unpack_chunk(p.as_py(), shard, fs - k)
               for p in probes_tbl.column("payload")]
         n = sum(int(q.size) for q in qs)
         hit = 0
         if filt_tbl.num_rows:
             sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
             table = sk.filter._fps
+            lm = _local_mask(fs, k)
             for q in qs:  # each chunk already sorted: locality-optimal probes
+                q = q & lm  # shard-local coordinates (stays sorted)
                 lo = np.searchsorted(table, q, side="left")
                 hit += int(((lo < table.size)
                             & (table[np.minimum(lo, table.size - 1)] == q)).sum())
@@ -247,9 +306,10 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
         if rem_tbl.num_rows:
             h = rem_tbl.column("h").to_numpy(zero_copy_only=False) \
                 .astype(np.int64).view(np.uint64)
-            sk.filter.remove_hashes(h)
+            sk.filter.remove_hashes(h & _local_mask(fs, k))
         blob = sketches.RsqfSketch(
-            Filter(qbits, rbits, None, sk.filter.fingerprints()), keep).to_bytes()
+            Filter(sk.filter.qbits, sk.filter.rbits, None,
+                   sk.filter.fingerprints()), keep).to_blocks_bytes()
         return pa.table({"shard": pa.array([key[0].as_py()], pa.int32()),
                          "n_fps": pa.array([len(sk.filter)], pa.int64()),
                          "payload": pa.array([blob], pa.binary())})
@@ -259,13 +319,21 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
             .applyInArrow(apply_removals, SHARDED_SCHEMA))
 
 
-def sharded_to_single(filter_df, spec: SketchSpec) -> bytes:
-    """Collapse the shard table to one blob (for parity tests / export)."""
-    rows = sorted(filter_df.collect(), key=lambda r: r["shard"])
-    qbits, rbits, _ = _fp_meta(spec)
+def sharded_to_single(filter_df, spec: SketchSpec, n_shards: int = 64) -> bytes:
+    """Collapse the shard table to one global blob (parity tests / export).
+
+    Shard blobs hold shard-local fingerprints (fs-k bits); adding each
+    shard's base back and concatenating in shard order yields the global
+    sorted multiset (shards are contiguous ranges).
+    """
+    k = shard_bits_for(n_shards)
+    qbits, rbits, fs = _fp_meta(spec)
     keep = getattr(spec.make(), "keep_duplicates", True)
-    fps = np.concatenate([
-        sketches.loads(r["payload"]).filter.fingerprints() for r in rows
-    ]) if rows else np.empty(0, dtype=np.uint64)
-    # shards are contiguous ranges in ascending order -> already sorted
+    rows = sorted(filter_df.collect(), key=lambda r: r["shard"])
+    parts = []
+    for r in rows:
+        local = sketches.loads(r["payload"]).filter.fingerprints()
+        base = np.uint64(int(r["shard"])) << np.uint64(fs - k)
+        parts.append(local + base)
+    fps = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
     return sketches.RsqfSketch(Filter(qbits, rbits, None, fps), keep).to_bytes()

@@ -160,7 +160,7 @@ def q_rsqf_sharded(spark, sf_dir):
     n_shards = 16
     filter_df = build_sharded_filter(li, spec, n_shards=n_shards)
     single = sketches.loads(build_sketch(li, spec, fan_in=8))
-    merged = sketches.loads(sharded_to_single(filter_df, spec))
+    merged = sketches.loads(sharded_to_single(filter_df, spec, n_shards))
     identical = bool(np.array_equal(merged.filter.fingerprints(),
                                     single.filter.fingerprints()))
     stats = probe_sharded(li, "h", filter_df, n_shards, spec) \

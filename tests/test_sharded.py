@@ -29,14 +29,14 @@ def test_sharded_equals_single_blob(spark, hashed_df):  # noqa: F811
     rows = sharded_df.collect()
     assert 1 <= len(rows) <= 8
     assert sum(r["n_fps"] for r in rows) == len(single.filter)
-    merged = sketches.loads(sharded_to_single(sharded_df, SPEC))
+    merged = sketches.loads(sharded_to_single(sharded_df, SPEC, 8))
     assert np.array_equal(merged.filter.fingerprints(), single.filter.fingerprints())
-    # shards hold disjoint contiguous ranges
+    # shard blobs hold shard-LOCAL fingerprints (fs-k bits each)
     k = 3
     fs = single.filter.fingerprint_size()
     for r in rows:
         fps = sketches.loads(r["payload"]).filter.fingerprints()
-        assert (fps >> np.uint64(fs - k) == r["shard"]).all()
+        assert (fps < np.uint64(1) << np.uint64(fs - k)).all()
 
 
 def test_sharded_probe_counts(spark, hashed_df):  # noqa: F811
@@ -78,10 +78,10 @@ def test_remove_sharded_matches_single_node(spark, hashed_df):
     removals = hashed_df.where("n_tok % 2 = 0").select("h")
     n_remove = removals.count()
     new_filter = remove_sharded(filter_df, removals, "h", 8, SPEC)
-    merged = sketches.loads(sharded_to_single(new_filter, SPEC))
+    merged = sketches.loads(sharded_to_single(new_filter, SPEC, 8))
 
     # single-node reference: same removals on the collapsed filter
-    single = sketches.loads(sharded_to_single(filter_df, SPEC))
+    single = sketches.loads(sharded_to_single(filter_df, SPEC, 8))
     h = np.array([r["h"] for r in removals.collect()], dtype=np.int64).view(np.uint64)
     single.filter.remove_hashes(h)
     assert np.array_equal(merged.filter.fingerprints(), single.filter.fingerprints())
