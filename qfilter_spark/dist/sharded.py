@@ -99,12 +99,19 @@ def shard_bits_for(n_shards: int) -> int:
     return k
 
 
-def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64):
+def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64,
+                         max_buffer: int = 16_000_000):
     """Returns a DataFrame (shard, n_fps, payload): the distributed filter.
 
     ``payload`` is a canonical sorted-fingerprint Filter blob restricted to
     the shard's fingerprint range [shard << (fs-k), (shard+1) << (fs-k)).
     Write it to Parquet to persist; union of shards == the single filter.
+
+    Spill-aware: a task's fingerprint buffer is capped at ``max_buffer``
+    entries (~128 MB); larger input partitions emit multiple sorted chunk
+    waves, which the shard merge treats as extra sorted runs — per-task
+    memory stays bounded no matter the input partition size (SURVEY.md §7
+    "Python-side memory" risk item).
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -115,27 +122,34 @@ def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64):
     shift = np.uint64(fs - k)
     mask = np.uint64((1 << fs) - 1) if fs < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    def emit_chunks(batches):
-        buf: list[np.ndarray] = []
-        for batch in batches:
-            if batch.num_rows:
-                data = spec.extract(batch)
-                if data.size:
-                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
-        if not buf:
-            return
+    def flush(buf: list) -> "pa.RecordBatch":
         fps = np.concatenate(buf)
         fps.sort(kind="stable")
         bounds = np.searchsorted(
             fps, np.arange(1, n_shards, dtype=np.uint64) << shift, side="left")
         chunks = np.split(fps, bounds)
         shards = [s for s in range(n_shards) if chunks[s].size]
-        yield pa.record_batch([
+        return pa.record_batch([
             pa.array(shards, pa.int32()),
             pa.array([int(chunks[s].size) for s in shards], pa.int64()),
             pa.array([_pack_chunk(chunks[s], s, fs - k) for s in shards],
                      pa.binary()),
         ], names=["shard", "n_fps", "payload"])
+
+    def emit_chunks(batches):
+        buf: list[np.ndarray] = []
+        buffered = 0
+        for batch in batches:
+            if batch.num_rows:
+                data = spec.extract(batch)
+                if data.size:
+                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
+                    buffered += data.size
+            if buffered >= max_buffer:
+                yield flush(buf)
+                buf, buffered = [], 0
+        if buf:
+            yield flush(buf)
 
     chunks_df = df.select(spec.col).mapInArrow(emit_chunks, SHARDED_SCHEMA)
 

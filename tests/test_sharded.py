@@ -91,3 +91,12 @@ def test_remove_sharded_matches_single_node(spark, hashed_df):
     stats = probe_sharded(keep, "h", new_filter, 8, SPEC) \
         .groupBy().sum("n_probed", "n_contained").collect()[0]
     assert stats[0] == stats[1]
+
+
+def test_build_spill_waves_identical(spark, hashed_df):
+    """Tiny max_buffer forces multiple chunk waves per task; result unchanged."""
+    a = build_sharded_filter(hashed_df, SPEC, n_shards=8)
+    b = build_sharded_filter(hashed_df, SPEC, n_shards=8, max_buffer=50)
+    pa_ = {r["shard"]: bytes(r["payload"]) for r in a.collect()}
+    pb = {r["shard"]: bytes(r["payload"]) for r in b.collect()}
+    assert pa_ == pb
