@@ -228,36 +228,41 @@ def main():
         # (spark speedup / host-achievable speedup).
         n_lo, n_hi = 1, 4
         scaling_corpus = ensure_corpus(scaling_docs)
-        thr = {}
-        host = {}
-        for cores in [n_lo, n_hi]:
-            log(f"=== scaling run @ local[{cores}] ===")
-            host_before = measure_host_parallelism([cores])
-            s = make_session(cores)
-            s.sparkContext.setLogLevel("ERROR")
-            best = None
-            for rep in range(max(repeats, 3)):  # ratios need extra reps on this host
+        # PAIRED protocol: each rep runs N then 4N back-to-back so bursty
+        # host steal hits both sides of a ratio similarly; the reported
+        # speedup is the median of per-pair ratios.
+        pair_ratios = []
+        thr_samples = {n_lo: [], n_hi: []}
+        host = {n_lo: [], n_hi: []}
+        for rep in range(max(repeats, 3)):
+            pair = {}
+            for cores in [n_lo, n_hi]:
+                host[cores].append(measure_host_parallelism([cores], secs=2.0)[cores])
+                s = make_session(cores)
+                s.sparkContext.setLogLevel("ERROR")
                 h = headline_job(s, scaling_corpus)
-                if best is None or h["tokens_per_sec_m"] > best["tokens_per_sec_m"]:
-                    best = h
-            s.stop()
-            host_after = measure_host_parallelism([cores])
-            host[cores] = max(host_before[cores], host_after[cores])
-            thr[cores] = best["tokens_per_sec_m"]
-            log(f"local[{cores}]: {best['tokens_per_sec_m']:.2f} M tokens/s "
-                f"(build {best['build_secs']:.1f}s, query {best['query_secs']:.1f}s); "
-                f"host raw iters {host[cores]:.0f}")
-        spark_speedup = thr[n_hi] / thr[n_lo]
-        host_speedup = host[n_hi] / host[n_lo]
+                s.stop()
+                pair[cores] = h["tokens_per_sec_m"]
+                thr_samples[cores].append(h["tokens_per_sec_m"])
+                log(f"pair {rep} local[{cores}]: {pair[cores]:.2f} M tokens/s")
+            pair_ratios.append(pair[n_hi] / pair[n_lo])
+            log(f"pair {rep} ratio: {pair_ratios[-1]:.2f}")
+        import statistics
+        spark_speedup = statistics.median(pair_ratios)
+        host_speedup = (statistics.median(host[n_hi])
+                        / statistics.median(host[n_lo]))
+        thr = {c: max(v) for c, v in thr_samples.items()}
         result["scaling"] = {
             "cores_n": n_lo, "cores_4n": n_hi,
             "tokens_per_sec_m_n": round(thr[n_lo], 3),
             "tokens_per_sec_m_4n": round(thr[n_hi], 3),
+            "pair_ratios": [round(r, 3) for r in pair_ratios],
             "spark_speedup": round(spark_speedup, 3),
             "host_achievable_speedup": round(host_speedup, 3),
             "efficiency_raw": round(spark_speedup / 4, 3),
             "efficiency_vs_host": round(spark_speedup / host_speedup, 3),
-            "note": "host is a time-sliced VM with bursty CPU steal; "
+            "note": "paired N/4N reps, median of per-pair throughput ratios; "
+                    "host is a time-sliced VM with bursty CPU steal — "
                     "efficiency_vs_host normalizes by concurrently-measured "
                     "achievable parallel speedup",
         }
