@@ -200,12 +200,16 @@ def _quantile_check(spark, df, col, kind, params, tol_millis):
     spec = SketchSpec(kind, params, "values", col)
     blob = build_sketch(df, spec, fan_in=8)
     sk = sketches.loads(blob)
-    n = df.count()
-    rows = []
-    for pct in [10, 25, 50, 75, 90]:
-        est = float(sk.quantile(pct / 100.0))
-        true_rank = df.where(F.col(col) <= F.lit(est)).count() / n
-        rows.append((pct, bool(abs(true_rank - pct / 100.0) * 1000 <= tol_millis)))
+    pcts = [10, 25, 50, 75, 90]
+    ests = {p: float(sk.quantile(p / 100.0)) for p in pcts}
+    # all exact ranks in ONE scan: conditional sums per estimate
+    aggs = [F.count("*").alias("n")] + [
+        F.sum((F.col(col) <= F.lit(ests[p])).cast("long")).alias(f"r{p}")
+        for p in pcts]
+    row = df.agg(*aggs).collect()[0]
+    n = row["n"]
+    rows = [(p, bool(abs(row[f"r{p}"] / n - p / 100.0) * 1000 <= tol_millis))
+            for p in pcts]
     return spark.createDataFrame(rows, "pct long, rank_within_bound boolean")
 
 
@@ -264,22 +268,29 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b", "jacc_millis")
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard >= 0.8 via explode + equi-join (no minhash)."""
+def q_dedup_ngram_jaccard(spark, sf_dir, max_df: int = 500):
+    """Exact n-gram Jaccard >= 0.8 via explode + equi-join (no minhash).
+
+    Candidate pairs share at least one *rare* shingle (document frequency
+    <= max_df): hot shingles would blow the self-join up quadratically and
+    contribute no discrimination. A J >= 0.8 pair shares the vast majority
+    of its shingles, so it shares rare ones too (recall ~1 unless a pair's
+    every common shingle is hot); verification is the exact set Jaccard on
+    the full shingle arrays, identical to the DuckDB oracle's definition.
+    """
     docs = load(spark, sf_dir, "documents")
     sh = dedup.with_shingles(docs.select("doc_id", "text"))
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    inter = (ex.alias("a").join(ex.alias("b"), "s")
-             .where(F.col("a.doc_id") < F.col("b.doc_id"))
-             .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
-    out = (inter
-           .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-           .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-           .withColumn("jacc_millis", F.floor(
-               F.lit(1000.0) * F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).cast("long")))
-    return out.where("jacc_millis >= 800").select("doc_a", "doc_b", "jacc_millis")
+    rare = (ex.groupBy("s").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("s"))
+    ex_rare = ex.join(rare, "s")
+    cand = (ex_rare.alias("a").join(ex_rare.alias("b"), "s")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    verified = dedup.exact_jaccard_pairs(cand, sh)
+    return verified.where("jacc_millis >= 800").select("doc_a", "doc_b", "jacc_millis")
 
 
 def q_dedup_simhash(spark, sf_dir):
