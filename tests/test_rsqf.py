@@ -425,3 +425,34 @@ def test_remove_hashes_batch_matches_sequential():
     assert n_batch == n_seq
     assert np.array_equal(f1.fingerprints(), f2.fingerprints())
     assert len(f1) == 2000 - n_batch
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(200))
+def test_model_based_ops_full_f3(seed):
+    """FIXTURES F3 at full scale: 200 sequences of up to 2000 ops."""
+    rng = random.Random(10_000 + seed)
+    cap = rng.randrange(0, 2000)
+    max_cap = max(cap, rng.randrange(0, 4000))
+    fp = 2.0 ** -rng.randrange(1, 16)
+    f = Filter.new_resizeable(cap, max_cap, fp)
+    model = {}
+    for op_i in range(rng.randrange(100, 2000)):
+        add = rng.random() < 0.7
+        item = rng.randrange(0, 1 << 16)
+        if add:
+            try:
+                f.insert_duplicated(item)
+                model[item] = model.get(item, 0) + 1
+            except CapacityExceeded:
+                continue
+        elif model.get(item, 0) > 0 and f.remove(item):
+            model[item] -= 1
+    for e, c in model.items():
+        if c > 0:
+            assert f.count(e) >= c
+    assert len(f) == sum(model.values())
+    f.shrink_to_fit()
+    for e, c in model.items():
+        if c > 0:
+            assert f.count(e) >= c
