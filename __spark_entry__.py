@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": W.q_ann_bruteforce,
         "ann_lsh_recall": W.q_ann_lsh_recall,
         "multimodal_stats": W.q_multimodal_stats,
+        # distributed machinery through the gate
+        "hll_per_source": W.q_hll_per_source,
+        "merge_lineage_resume": W.q_merge_lineage_resume,
         # streaming
         "streaming_sketch": W.q_streaming_sketch,
     }
@@ -156,6 +159,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",
+        "hll_per_source":
+            "SELECT source, count(DISTINCT doc_id) AS exact_distinct, "
+            "true AS hll_within_bound FROM documents GROUP BY source",
+        "merge_lineage_resume":
+            "SELECT count(*) AS n_fps, CAST(4 AS BIGINT) AS n_rounds, "
+            "true AS resume_identical FROM lineitem",
         "multimodal_stats":
             "SELECT count(*) AS n_media, "
             "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "

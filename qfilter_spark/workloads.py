@@ -339,6 +339,54 @@ def q_doc_fingerprint(spark, sf_dir):
                  F.countDistinct("fp").alias("n_distinct_fp")))
 
 
+def q_hll_per_source(spark, sf_dir):
+    """Per-group sketches with salted skew mitigation (grouped build path):
+    one HLL per documents.source, checked against exact per-source distincts."""
+    from .dist import build_grouped_sketches
+
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.xxhash64("doc_id"))
+    spec = SketchSpec("hll", dict(p=14), "hash_col", "h")
+    per_source = build_grouped_sketches(docs, "source", spec, n_salts=4)
+    rows = per_source.collect()
+    exact = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    rsd = 1.04 / np.sqrt(1 << 14)
+    out = []
+    for r in rows:
+        est = sketches.loads(bytes(r["payload"])).estimate()
+        n = exact[r["source"]]
+        out.append((r["source"], int(n), bool(abs(est - n) <= 4 * rsd * n + 2)))
+    return spark.createDataFrame(
+        out, "source string, exact_distinct long, hll_within_bound boolean")
+
+
+def q_merge_lineage_resume(spark, sf_dir):
+    """Checkpointed tree-merge lineage + resume (north_rule resumability):
+    wipe the final rounds, resume from the last complete one, compare."""
+    import shutil
+    import tempfile
+
+    from .dist import partial_sketches, tree_merge
+    from .dist.checkpoint import MergeLineage, resume_tree_merge
+    import os as _os
+
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey").repartition(8)
+    n = li.count()
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = _os.path.join(d, "lineage")
+        lineage = MergeLineage(spark, ckpt)
+        blob = tree_merge(partial_sketches(li, spec), fan_in=2,
+                          lineage=lineage, n_partials=8)
+        rounds = lineage.complete_rounds()
+        for rnd in rounds[2:]:  # simulate a crash after round 1
+            shutil.rmtree(_os.path.join(ckpt, f"round={rnd}"))
+        resumed = resume_tree_merge(spark, ckpt, fan_in=2)
+    return _one_row(spark, n_fps=len(sketches.loads(blob).filter),
+                    n_rounds=int(len(rounds)),
+                    resume_identical=bool(resumed == blob))
+
+
 def q_streaming_sketch(spark, sf_dir):
     """Micro-batch sketch maintenance (Structured Streaming foreachBatch
     path driven deterministically over the events table, with a replay)."""
