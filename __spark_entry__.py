@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": W.q_ann_lsh_recall,
         "multimodal_stats": W.q_multimodal_stats,
         # distributed machinery through the gate
+        "topk_tokens": W.q_topk_tokens,
         "hll_per_source": W.q_hll_per_source,
         "merge_lineage_resume": W.q_merge_lineage_resume,
         # streaming
@@ -159,6 +160,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",
+        "topk_tokens":
+            "SELECT word, cnt, true AS tracked FROM ("
+            "  SELECT word, count(*) AS cnt FROM ("
+            "    SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+            "  ) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 10)",
         "hll_per_source":
             "SELECT source, count(DISTINCT doc_id) AS exact_distinct, "
             "true AS hll_within_bound FROM documents GROUP BY source",

@@ -11,6 +11,7 @@ from .hll import HllSketch
 from .kll import KllSketch
 from .rsqf_adapter import RsqfSketch
 from .tdigest import TDigest
+from .topk import TopKSketch
 
 
 def create(kind: str, **params):
@@ -22,11 +23,12 @@ def create(kind: str, **params):
         "cms": CountMinSketch,
         "kll": KllSketch,
         "tdigest": TDigest,
+        "topk": TopKSketch,
     }[kind]
     return cls.create(**params)
 
 
 __all__ = [
     "BloomFilter", "CountMinSketch", "HllSketch", "KllSketch",
-    "RsqfSketch", "TDigest", "loads", "create", "KIND_NAMES",
+    "RsqfSketch", "TDigest", "TopKSketch", "loads", "create", "KIND_NAMES",
 ]

@@ -24,6 +24,7 @@ KIND_HLL = 3
 KIND_CMS = 4
 KIND_KLL = 5
 KIND_TDIGEST = 6
+KIND_TOPK = 7
 
 KIND_NAMES = {
     "rsqf": KIND_RSQF,
@@ -32,6 +33,7 @@ KIND_NAMES = {
     "cms": KIND_CMS,
     "kll": KIND_KLL,
     "tdigest": KIND_TDIGEST,
+    "topk": KIND_TOPK,
 }
 
 

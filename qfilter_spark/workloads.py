@@ -339,6 +339,29 @@ def q_doc_fingerprint(spark, sf_dir):
                  F.countDistinct("fp").alias("n_distinct_fp")))
 
 
+def q_topk_tokens(spark, sf_dir):
+    """Misra-Gries heavy hitters over document words.
+
+    The distributed top-k summary must track every exact top-10 word
+    (MG completeness: true count > n/k is always tracked) with a
+    lower-bound estimate within its tracked error.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")) \
+        .withColumn("h", F.xxhash64("word"))
+    blob = build_sketch(words, SketchSpec("topk", dict(k=256), "hash_col", "h"),
+                        fan_in=8)
+    sk = sketches.loads(blob)
+    exact10 = (words.groupBy("word", "h").agg(F.count("*").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("word")).limit(10).collect())
+    hs = np.array([r["h"] for r in exact10], dtype=np.int64).view(np.uint64)
+    est = sk.estimate_hashes(hs)
+    rows = [(r["word"], int(r["cnt"]),
+             bool(e > 0 and e <= r["cnt"] <= e + sk.err))
+            for r, e in zip(exact10, est)]
+    return spark.createDataFrame(rows, "word string, cnt long, tracked boolean")
+
+
 def q_hll_per_source(spark, sf_dir):
     """Per-group sketches with salted skew mitigation (grouped build path):
     one HLL per documents.source, checked against exact per-source distincts."""

@@ -237,3 +237,44 @@ def test_merge_order_invariance_hash_sketches():
         a = build([0, 1, 2, 3, 4])
         b = build([4, 2, 0, 3, 1])
         assert a == b, f"{kind} merge is order-dependent"
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries top-k
+# ---------------------------------------------------------------------------
+
+def test_topk_guarantees():
+    from qfilter_spark.sketches import TopKSketch
+    rng = np.random.default_rng(4)
+    items = rng.zipf(1.2, size=200_000).astype(np.int64) % 1000
+    sk = TopKSketch.create(k=64)
+    for chunk in np.array_split(items, 8):
+        sk.update_hashes(hashes_of(chunk))
+    uniq, true_counts = np.unique(items, return_counts=True)
+    est = sk.estimate_hashes(hashes_of(uniq))
+    # lower bound + bounded undercount
+    assert (est <= true_counts).all()
+    assert sk.err <= items.size // 64
+    # every item above n/k must be tracked with est + err >= true
+    big = true_counts > items.size // 64
+    assert ((est + sk.err >= true_counts) | ~big).all()
+    assert (est[big] > 0).all()
+
+
+def test_topk_merge_and_serde():
+    from qfilter_spark.sketches import TopKSketch
+    rng = np.random.default_rng(6)
+    parts = [(rng.zipf(1.3, size=30_000).astype(np.int64) % 500) for _ in range(4)]
+    merged = TopKSketch.create(k=48)
+    for p in parts:
+        s = TopKSketch.create(k=48)
+        s.update_hashes(hashes_of(p))
+        merged.merge(s)
+    allitems = np.concatenate(parts)
+    uniq, true_counts = np.unique(allitems, return_counts=True)
+    est = merged.estimate_hashes(hashes_of(uniq))
+    assert (est <= true_counts).all()
+    big = true_counts > allitems.size // 48 + merged.err
+    assert (est[big] > 0).all()
+    back = loads(merged.to_bytes())
+    assert back.to_bytes() == merged.to_bytes()
