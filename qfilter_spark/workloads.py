@@ -280,11 +280,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_df: int = 500):
     """
     docs = load(spark, sf_dir, "documents")
     sh = dedup.with_shingles(docs.select("doc_id", "text"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    rare = (ex.groupBy("s").agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df).select("s"))
-    ex_rare = ex.join(rare, "s")
-    cand = (ex_rare.alias("a").join(ex_rare.alias("b"), "s")
+    hashed = dedup.with_shingle_hashes(sh)
+    # candidate join on shingle HASHES (8-byte keys through the shuffle,
+    # not strings); exact verification still uses the string sets
+    ex = hashed.select("doc_id", F.explode("shingle_hashes").alias("hs"))
+    rare = (ex.groupBy("hs").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("hs"))
+    ex_rare = ex.join(rare, "hs")
+    cand = (ex_rare.alias("a").join(ex_rare.alias("b"), "hs")
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
