@@ -71,6 +71,64 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def windowed_sketch_stream(stream_df, spec: SketchSpec, ts_col: str,
+                           window_secs: int, watermark_delay: str = "10 seconds",
+                           hash_col: str = "h"):
+    """Event-time windowed sketches with watermark-driven finalization.
+
+    Rows are bucketed into tumbling windows of ``window_secs``; each window's
+    sketch lives in the state store (applyInPandasWithState with event-time
+    timeout). While a window is open, running rows are emitted with
+    ``final=false``; once the watermark passes the window end, the state
+    times out and the window's sketch row is emitted with ``final=true`` —
+    the standard late-data-tolerant windowed aggregation, with a sketch as
+    the aggregate state.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    win = (F.floor(F.unix_timestamp(F.col(ts_col)) / window_secs)
+           * window_secs).cast("long").alias("win_start")
+    src = (stream_df
+           .withWatermark(ts_col, watermark_delay)
+           .select(win, F.col(hash_col), F.col(ts_col)))
+
+    def fold(key, pdf_iter, state):
+        win_start = int(key[0])
+        if state.hasTimedOut:
+            blob, n_items = state.get
+            sk = sketches.loads(bytes(blob))
+            length = len(sk.filter) if hasattr(sk, "filter") else n_items
+            state.remove()
+            yield pd.DataFrame({"win_start": [win_start], "n_items": [n_items],
+                                "sketch_len": [int(length)], "final": [True]})
+            return
+        if state.exists:
+            blob, n_items = state.get
+            sk = sketches.loads(bytes(blob))
+        else:
+            sk, n_items = spec.make(), 0
+        for pdf in pdf_iter:
+            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            sk.update_hashes(h)
+            n_items += int(h.size)
+        state.update((sk.to_bytes(), n_items))
+        # finalize once the watermark passes the window end
+        state.setTimeoutTimestamp((win_start + window_secs) * 1000)
+        length = len(sk.filter) if hasattr(sk, "filter") else n_items
+        yield pd.DataFrame({"win_start": [win_start], "n_items": [n_items],
+                            "sketch_len": [int(length)], "final": [False]})
+
+    return (src.groupBy("win_start")
+            .applyInPandasWithState(
+                fold,
+                outputStructType="win_start long, n_items long, sketch_len long, final boolean",
+                stateStructType="blob binary, n_items long",
+                outputMode="Update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 class StreamingSketch:
     """A sketch folded over a stream via foreachBatch.
 

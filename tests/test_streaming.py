@@ -100,3 +100,34 @@ def test_keyed_sketch_stream_applyinpandaswithstate(spark, tmp_path):
     assert len(latest) == 4, latest
     for k, (n, length) in latest.items():
         assert n > 0 and length == n, (k, n, length)  # distinct values => len == n
+
+
+@pytest.mark.slow
+def test_windowed_sketch_stream_finalizes_on_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from qfilter_spark.streaming import windowed_sketch_stream
+
+    spec = SketchSpec("rsqf", dict(capacity=300_000, fp_rate=0.01), "hash_col", "h")
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", "3000").load()
+              .select(F.col("timestamp").alias("ts"),
+                      F.xxhash64(F.col("value").cast("long")).alias("h")))
+    out = windowed_sketch_stream(stream, spec, "ts", window_secs=3,
+                                 watermark_delay="1 seconds")
+    q = (out.writeStream.format("memory").queryName("win_sketches")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+         .trigger(processingTime="1 seconds")
+         .start())
+    import time
+    deadline = time.time() + 45
+    finals = {}
+    while time.time() < deadline:
+        for r in spark.sql("SELECT * FROM win_sketches WHERE final").collect():
+            finals[r["win_start"]] = (r["n_items"], r["sketch_len"])
+        if len(finals) >= 2:
+            break
+        time.sleep(1)
+    q.stop()
+    assert len(finals) >= 2, finals
+    for w, (n, length) in finals.items():
+        assert n > 0 and length == n  # rate values are distinct
