@@ -67,18 +67,25 @@ def _cpu_work(secs: float) -> int:
     return it
 
 
+def _pin_first_n(n: int) -> None:
+    os.sched_setaffinity(0, set(range(n)))
+
+
 def measure_host_parallelism(n_procs: list[int], secs: float = 3.0) -> dict[int, float]:
     """Raw achievable parallel speedup of this host (numpy uint64 kernel).
 
     The sandbox advertises 32 vCPUs but is time-sliced with significant
     steal; this measures what parallel efficiency is physically available
-    RIGHT NOW, so Spark's scaling can be normalized against it.
+    RIGHT NOW, so Spark's scaling can be normalized against it. Workers are
+    pinned to the first n CPUs — the same affinity the taskset-pinned Spark
+    scaling runs get — so the two measurements see the same hardware.
     """
+    import functools
     import multiprocessing as mp
 
     out = {}
     for n in n_procs:
-        with mp.Pool(n) as p:
+        with mp.Pool(n, initializer=functools.partial(_pin_first_n, n)) as p:
             out[n] = float(sum(p.map(_cpu_work, [secs] * n)))
     return out
 
@@ -178,7 +185,35 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def scaling_worker(cores: int, corpus_path: str) -> None:
+    """Child-process entry for one CPU-pinned scaling run (see main)."""
+    s = make_session(cores)
+    s.sparkContext.setLogLevel("ERROR")
+    h = headline_job(s, corpus_path)
+    s.stop()
+    print(json.dumps(h))
+
+
+def _run_pinned(cores: int, corpus_path: str) -> dict:
+    """Run one headline job with the WHOLE process tree pinned to `cores`
+    CPUs via taskset (affinity is inherited by the JVM and python workers),
+    so local[N] really means N cores — a bare local[N] still lets the JVM
+    and the Python worker overlap on extra cores, which inflates the
+    small-N baseline and understates scaling."""
+    import subprocess
+    cpu_list = ",".join(str(c) for c in range(cores))
+    cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
+           "--scaling-worker", str(cores), corpus_path]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    if out.returncode != 0:
+        raise RuntimeError(f"pinned run failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]), sys.argv[3])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
@@ -238,13 +273,11 @@ def main():
             pair = {}
             for cores in [n_lo, n_hi]:
                 host[cores].append(measure_host_parallelism([cores], secs=2.0)[cores])
-                s = make_session(cores)
-                s.sparkContext.setLogLevel("ERROR")
-                h = headline_job(s, scaling_corpus)
-                s.stop()
+                h = _run_pinned(cores, scaling_corpus)
                 pair[cores] = h["tokens_per_sec_m"]
                 thr_samples[cores].append(h["tokens_per_sec_m"])
-                log(f"pair {rep} local[{cores}]: {pair[cores]:.2f} M tokens/s")
+                log(f"pair {rep} local[{cores}] (taskset-pinned): "
+                    f"{pair[cores]:.2f} M tokens/s")
             pair_ratios.append(pair[n_hi] / pair[n_lo])
             log(f"pair {rep} ratio: {pair_ratios[-1]:.2f}")
         import statistics
