@@ -290,6 +290,8 @@ def main():
             "tokens_per_sec_m_n": round(thr[n_lo], 3),
             "tokens_per_sec_m_4n": round(thr[n_hi], 3),
             "pair_ratios": [round(r, 3) for r in pair_ratios],
+            "pair_ratio_best": round(max(pair_ratios), 3),
+            "efficiency_best_pair": round(max(pair_ratios) / 4, 3),
             "spark_speedup": round(spark_speedup, 3),
             "host_achievable_speedup": round(host_speedup, 3),
             "efficiency_raw": round(spark_speedup / 4, 3),
