@@ -456,3 +456,33 @@ def test_model_based_ops_full_f3(seed):
     for e, c in model.items():
         if c > 0:
             assert f.count(e) >= c
+
+
+@pytest.mark.parametrize("fp_rate", [0.2, 0.1, 0.01, 0.001, 0.0001, 0.00001, 0.000001])
+def test_fp_rate_grid(fp_rate):
+    """FIXTURES F2 fp_rate grid: bound respected at full load (smaller cap)."""
+    from qfilter_spark.hashing import xxh64_i64
+    f = Filter.new(5000, fp_rate)
+    n = f.capacity()
+    f.insert_hashes(xxh64_i64(np.arange(n, dtype=np.int64)))
+    assert f.contains_hashes(xxh64_i64(np.arange(n, dtype=np.int64))).all()
+    absent = xxh64_i64(np.arange(5_000_000, 5_200_000, dtype=np.int64))
+    fpr = f.contains_hashes(absent).mean()
+    # the 2^-rbits bound is an expected-value bound; allow 3-sigma sampling
+    # noise on the observed rate (cap 5000 -> small-sample wobble)
+    b = f.max_error_ratio()
+    assert fpr <= b + 3 * (b / absent.size) ** 0.5, (fp_rate, fpr, b)
+
+
+@pytest.mark.parametrize("init,maxcap", [(50, 1000), (100, 500), (0, 100), (100, 100)])
+def test_resizeable_grid(init, maxcap):
+    """FIXTURES F2 resizeable (init, max) grid."""
+    f = Filter.new_resizeable(init, maxcap, 0.01)
+    for i in range(maxcap):
+        f.insert_duplicated(i)
+    assert len(f) == maxcap
+    for i in range(maxcap):
+        assert f.contains(i)
+    assert f.capacity() >= maxcap
+    if maxcap > init:
+        assert f.max_qbits is None or f.qbits <= (f.max_qbits or f.qbits)
