@@ -109,9 +109,16 @@ def encode(fps: np.ndarray, qbits: int, rbits: int) -> bytes:
     run_words = np.packbits(run_bits, bitorder="little").view(np.uint64)
 
     # pack remainders: rbits consecutive bits per slot, LSB-first, per block
+    # (chunked: the n_slots*rbits-byte bit matrix would be a large fresh
+    # allocation, which this host's page-fault path makes very slow)
     bit_idx = np.arange(rbits, dtype=np.uint64)
-    rem_bits = ((rem_by_slot[:, None] >> bit_idx) & _U64(1)).astype(np.uint8)
-    rem_bytes = np.packbits(rem_bits.reshape(-1), bitorder="little")
+    rem_bytes = np.empty(n_slots * rbits // 8, dtype=np.uint8)
+    step = 1 << 16  # slots per chunk; slot*rbits stays byte-aligned per 8
+    for s in range(0, n_slots, step):
+        e = min(s + step, n_slots)
+        bits = ((rem_by_slot[s:e, None] >> bit_idx) & _U64(1)).astype(np.uint8)
+        rem_bytes[s * rbits // 8:e * rbits // 8] = np.packbits(
+            bits.reshape(-1), bitorder="little")
 
     block_bytes = 17 + 8 * rbits
     out = np.zeros(n_blocks * block_bytes, dtype=np.uint8)
@@ -133,11 +140,19 @@ def decode(payload: bytes, qbits: int, rbits: int, n_items: int) -> np.ndarray:
     block_bytes = 17 + 8 * rbits
     raw = np.frombuffer(payload, dtype=np.uint8, count=n_blocks * block_bytes)
     view = raw.reshape(n_blocks, block_bytes)
-    occ_bits = np.unpackbits(view[:, 1:9].reshape(-1), bitorder="little")
-    run_bits = np.unpackbits(view[:, 9:17].reshape(-1), bitorder="little")
-    rem_bits = np.unpackbits(view[:, 17:].reshape(-1), bitorder="little")
+    occ_bits = np.unpackbits(np.ascontiguousarray(view[:, 1:9]).reshape(-1),
+                             bitorder="little")
+    run_bits = np.unpackbits(np.ascontiguousarray(view[:, 9:17]).reshape(-1),
+                             bitorder="little")
     weights = (_U64(1) << np.arange(rbits, dtype=np.uint64))
-    rem_by_slot = rem_bits.reshape(n_slots, rbits).astype(np.uint64) @ weights
+    rem_area = np.ascontiguousarray(view[:, 17:]).reshape(-1)
+    rem_by_slot = np.empty(n_slots, dtype=np.uint64)
+    step = 1 << 16  # slots per chunk (cache-resident unpack)
+    for s in range(0, n_slots, step):
+        e = min(s + step, n_slots)
+        bits = np.unpackbits(rem_area[s * rbits // 8:e * rbits // 8],
+                             bitorder="little")
+        rem_by_slot[s:e] = bits.reshape(e - s, rbits).astype(np.uint64) @ weights
 
     if n_items == 0:
         return np.empty(0, dtype=np.uint64)
