@@ -30,8 +30,10 @@ def main():
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder.master("local[8]")
-             .config("spark.sql.shuffle.partitions", "8")
+    master = os.environ.get("QFS_CHECK_MASTER", "local[8]")
+    shuffle = os.environ.get("QFS_CHECK_SHUFFLE", "8")
+    spark = (SparkSession.builder.master(master)
+             .config("spark.sql.shuffle.partitions", shuffle)
              .config("spark.ui.enabled", "false")
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
