@@ -486,3 +486,21 @@ def test_resizeable_grid(init, maxcap):
     assert f.capacity() >= maxcap
     if maxcap > init:
         assert f.max_qbits is None or f.qbits <= (f.max_qbits or f.qbits)
+
+
+@pytest.mark.parametrize("fp_pair", [(0.01, 0.001), (0.001, 0.0001), (0.01, 0.0001)])
+def test_merge_precision_triples(fp_pair):
+    """FIXTURES F5: lower-fp (higher-precision) filters merge INTO higher-fp
+    ones (their fingerprints are longer); the reverse raises."""
+    fp_hi, fp_lo = fp_pair
+    coarse = Filter.new(1000, fp_hi)
+    fine = Filter.new(1000, fp_lo)
+    assert fine.fingerprint_size() > coarse.fingerprint_size()
+    for i in range(500):
+        fine.insert_duplicated(i)
+    coarse.merge(True, fine)
+    assert len(coarse) == 500
+    for i in range(500):
+        assert coarse.contains(i)
+    with pytest.raises(IncompatibleFingerprintSize):
+        fine.merge(True, coarse)
