@@ -111,7 +111,10 @@ def _merge_group_fn(spec_unused=None):
 
     def merge_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         t0 = time.perf_counter()
-        pdf = pdf.sort_values("shard_id")  # deterministic merge order
+        # shard_id is the ORIGINAL id (the group key travels in "grp"), so
+        # this sort gives a deterministic merge order for the weakly
+        # order-dependent quantile sketches, run-to-run
+        pdf = pdf.sort_values("shard_id")
         acc = None
         for payload in pdf["payload"]:
             sk = sketches.loads(bytes(payload))
@@ -151,8 +154,8 @@ def tree_merge(partials, fan_in: int = 16, lineage=None, n_partials: int | None 
         rnd += 1
         n_groups = max(1, math.ceil(n / fan_in))
         current = (current
-                   .withColumn("shard_id", F.pmod(F.col("shard_id"), F.lit(n_groups)))
-                   .groupBy("shard_id")
+                   .withColumn("grp", F.pmod(F.col("shard_id"), F.lit(n_groups)))
+                   .groupBy("grp")
                    .applyInPandas(merge_fn, PARTIAL_SCHEMA))
         if lineage is not None:
             current = lineage.write_round(current, rnd)

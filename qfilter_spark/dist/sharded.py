@@ -273,7 +273,9 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
             sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
             table = sk.filter._fps
             lm = _local_mask(fs, k)
-            for q in qs:  # each chunk already sorted: locality-optimal probes
+            # table.size guard: a shard drained to empty by remove_sharded
+            # still has a row, and min(lo, -1) would index into nothing
+            for q in qs if table.size else ():  # chunks sorted: locality-optimal
                 q = q & lm  # shard-local coordinates (stays sorted)
                 lo = np.searchsorted(table, q, side="left")
                 hit += int(((lo < table.size)

@@ -54,9 +54,15 @@ def clamp_fp_rate(fp_rate: float) -> float:
 
 
 def rbits_for(fp_rate: float, qbits: int, max_qbits: int) -> int:
-    """rbits = round(-log2(fp)).max(1) + (max_qbits - qbits)."""
+    """rbits = round(-log2(fp)).max(1) + (max_qbits - qbits).
+
+    Rust f64::round rounds half AWAY from zero; Python's round() is
+    banker's rounding, which would yield rbits one lower for fp rates
+    where -log2(fp) is exactly x.5 (e.g. 2^-2.5), doubling the error
+    bound vs the reference. floor(x + 0.5) reproduces Rust for x >= 0.
+    """
     fp = clamp_fp_rate(fp_rate)
-    base = max(1, round(-math.log2(fp)))
+    base = max(1, math.floor(-math.log2(fp) + 0.5))
     return base + (max_qbits - qbits)
 
 

@@ -58,8 +58,14 @@ class RsqfSketch:
     def merge(self, other: "RsqfSketch") -> None:
         # tree-merge may need headroom: grow the target first if the combined
         # multiset cannot fit (merge itself never grows; src/lib.rs:1343-1352)
-        need = len(self.filter) + (len(other.filter) if self.keep_duplicates
-                                   else len(other.filter))
+        if self.keep_duplicates:
+            need = len(self.filter) + len(other.filter)
+        else:
+            # exact union size, not the len-sum overestimate: growing when
+            # the deduplicated union would fit needlessly doubles the FPR
+            o = np.unique(np.asarray(other.filter._fps, dtype=np.uint64)
+                          & self.filter._fp_mask())
+            need = len(self.filter) + int((~self.filter.contains_hashes(o)).sum())
         while (need > self.filter.capacity()
                and self.filter.max_qbits is not None
                and self.filter.max_qbits > self.filter.qbits):

@@ -144,9 +144,18 @@ class StreamingSketch:
 
     # -- state I/O -----------------------------------------------------
     def _gens(self) -> list[int]:
-        return sorted(int(d.split("=")[1]) for d in os.listdir(self.state_dir)
-                      if d.startswith("gen=") and
-                      os.path.exists(os.path.join(self.state_dir, d, "meta.json")))
+        # tolerate stray dirs (e.g. an interrupted writer's temp): only
+        # complete generations with an integer suffix count
+        out = []
+        for d in os.listdir(self.state_dir):
+            if not d.startswith("gen="):
+                continue
+            suffix = d.split("=", 1)[1]
+            if not suffix.isdigit():
+                continue
+            if os.path.exists(os.path.join(self.state_dir, d, "meta.json")):
+                out.append(int(suffix))
+        return sorted(out)
 
     def current(self):
         """(sketch-or-None, meta dict, generation int)."""
@@ -161,7 +170,9 @@ class StreamingSketch:
 
     def _write_gen(self, gen: int, sk, meta: dict) -> None:
         d = os.path.join(self.state_dir, f"gen={gen}")
-        tmp = d + ".tmp"
+        # tmp name must fail the _gens() "gen=" prefix filter so a crash
+        # between write and rename can never corrupt generation listing
+        tmp = os.path.join(self.state_dir, f".tmp-gen={gen}")
         os.makedirs(tmp, exist_ok=True)
         with open(os.path.join(tmp, "sketch.bin"), "wb") as f:
             f.write(sk.to_bytes())

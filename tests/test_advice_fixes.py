@@ -1,0 +1,110 @@
+"""Regression tests for the round-1 ADVICE findings."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qfilter_spark import params, sketches
+from qfilter_spark.dist.agg import SketchSpec
+
+
+def test_probe_sharded_chunks_empty_shard(spark):
+    """ADVICE #1: probing a shard drained to n_fps=0 must not IndexError."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.dist.sharded import (build_sharded_filter,
+                                            probe_sharded_chunks,
+                                            remove_sharded)
+
+    df = (spark.range(0, 2000)
+          .select(F.xxhash64(F.col("id").cast("long")).alias("h")))
+    spec = SketchSpec("rsqf", dict(capacity=4096, fp_rate=0.01), "hash_col", "h")
+    filt = build_sharded_filter(df, spec, n_shards=4).cache()
+    # remove EVERYTHING: some (likely all) shards drain to n_fps=0 but keep rows
+    drained = remove_sharded(filt, df, "h", 4, spec).cache()
+    assert drained.where("n_fps = 0").count() > 0
+    stats = (probe_sharded_chunks(df.withColumnRenamed("h", "h2"),
+                                  SketchSpec("rsqf", spec.params, "hash_col", "h2"),
+                                  drained, 4, spec)
+             .groupBy().sum("n_probed", "n_contained").collect()[0])
+    assert int(stats[0]) == 2000
+    assert int(stats[1]) == 0
+    filt.unpersist(); drained.unpersist()
+
+
+def test_streaming_gens_tolerates_stray_tmp(tmp_path):
+    """ADVICE #2: a leftover temp dir must not break generation listing."""
+    from qfilter_spark.streaming import StreamingSketch
+
+    spec = SketchSpec("rsqf", dict(capacity=1024, fp_rate=0.01), "hash_col", "h")
+    ss = StreamingSketch(spec, str(tmp_path))
+    sk = spec.make()
+    sk.update_hashes(np.arange(10, dtype=np.uint64))
+    ss._write_gen(0, sk, {"batch_id": 0, "n_items": 10, "ts": 0.0})
+    # simulate a crash mid-write of gen=1 with BOTH naming schemes
+    os.makedirs(tmp_path / ".tmp-gen=1")
+    os.makedirs(tmp_path / "gen=1.tmp")
+    (tmp_path / "gen=1.tmp" / "meta.json").write_text("{}")
+    assert ss._gens() == [0]
+    cur, meta, gen = ss.current()
+    assert gen == 0 and meta["n_items"] == 10
+
+
+def test_tree_merge_deterministic_order(spark):
+    """ADVICE #3: tree_merge must sort by the ORIGINAL shard_id per group.
+
+    With a t-digest (weakly order-dependent merge) the reduced blob must be
+    byte-identical across repeated runs over shuffled partials.
+    """
+    import pandas as pd
+
+    from qfilter_spark.dist.agg import PARTIAL_SCHEMA, tree_merge
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for sid in range(12):
+        td = sketches.create("tdigest", compression=100)
+        td.update_values(rng.normal(sid, 1.0, 2000))
+        rows.append((sid, 2000, 0.0, td.to_bytes()))
+    blobs = set()
+    for _ in range(3):
+        pdf = pd.DataFrame(rows, columns=["shard_id", "n_items",
+                                          "build_secs", "payload"])
+        partials = spark.createDataFrame(pdf, PARTIAL_SCHEMA).repartition(6)
+        blobs.add(tree_merge(partials, fan_in=4, n_partials=12))
+    assert len(blobs) == 1
+
+
+def test_rbits_half_away_from_zero():
+    """ADVICE #4: fp = 2^-x.5 must round rbits UP like Rust f64::round."""
+    fp = 2.0 ** -2.5
+    assert params.rbits_for(fp, 10, 10) == 3  # banker's round() would give 2
+    assert params.rbits_for(2.0 ** -4.5, 10, 10) == 5
+    # unchanged for non-ties
+    assert params.rbits_for(0.01, 10, 10) == 7
+
+
+def test_rsqf_merge_no_spurious_grow():
+    """ADVICE #5: set-semantics merge must not grow when the union fits."""
+    sk_a = sketches.create("rsqf", capacity=1000, fp_rate=0.01,
+                           keep_duplicates=False, resizeable_from=1000)
+    sk_b = sketches.create("rsqf", capacity=1000, fp_rate=0.01,
+                           keep_duplicates=False, resizeable_from=1000)
+    # 600 shared hashes each: union=600 fits in capacity, len-sum 1200 doesn't
+    hs = np.arange(1, 601, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    sk_a.update_hashes(hs)
+    sk_b.update_hashes(hs)
+    q_before = sk_a.filter.qbits
+    sk_a.merge(sk_b)
+    assert sk_a.filter.qbits == q_before, "grew despite union fitting"
+    assert len(sk_a.filter) == 600
+    # and it still grows when the union genuinely does not fit
+    sk_c = sketches.create("rsqf", capacity=10**6, fp_rate=0.01,
+                           keep_duplicates=False, resizeable_from=64)
+    sk_d = sketches.create("rsqf", capacity=10**6, fp_rate=0.01,
+                           keep_duplicates=False, resizeable_from=64)
+    sk_c.update_hashes(hs[:30])
+    sk_d.update_hashes(hs[30:])
+    sk_c.merge(sk_d)
+    assert len(sk_c.filter) == 600
