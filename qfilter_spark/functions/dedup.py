@@ -148,13 +148,110 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     With J >= 0.8 and 16 bands x 4 rows the candidate-recall is ~0.9998 at
     the threshold and ~1-1e-20 for true near-dups, so the verified output
     equals the exact all-pairs answer (the DuckDB oracle) on real data.
+
+    Verification joins the 8-byte shingle-HASH arrays, not the shingle
+    strings — same set Jaccard (collision odds within one pair's union are
+    ~|union|^2/2^65) at a fraction of the shuffle bytes.
     """
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
     hashed = with_shingle_hashes(sh)
     sig = minhash_signatures(hashed, id_col=id_col)
     cand = lsh_candidate_pairs(sig)
-    verified = exact_jaccard_pairs(cand, sh, id_col=id_col)
+    verified = exact_jaccard_pairs(cand, hashed, id_col=id_col,
+                                   shingle_col="shingle_hashes")
     return verified.where(F.col("jacc_millis") >= threshold_millis)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold_millis: int = 800,
+                        max_df: int = 500) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold WITHOUT minhash, as joins + counts.
+
+    The 100 TB-shaped plan (replaces the round-1 pair-explosion self-join):
+
+    1. Explode distinct shingle HASHES (8-byte keys; strings never shuffle).
+    2. Candidate pairs = docs sharing a *rare* shingle (document frequency
+       <= max_df). The self-join on rare hashes feeds STRAIGHT into
+       ``groupBy(doc_a, doc_b).count()`` — Spark's partial aggregation
+       collapses the joined rows map-side, so pairs are never materialized
+       through a shuffle; the count IS the rare-shingle intersection size.
+    3. Prune with an upper bound: even if every corpus-hot shingle of the
+       smaller doc were shared, could the pair reach the threshold?
+       (1000 * I >= t * (n_a + n_b - I) is monotone in I, so testing it at
+       I_max = inter_rare + min(hot_a, hot_b) is a sound filter.)
+    4. Exact hot intersection only for surviving docs: hot shingles
+       restricted to candidate docs, same join+count shape. Total
+       intersection = inter_rare + inter_hot; union = n_a + n_b - inter.
+
+    No string arrays through any shuffle, no driver collects, every stage a
+    hash equi-join or partial-aggregated count. Recall caveat (unchanged
+    from round 1): a qualifying pair whose every common shingle is hot is
+    missed; at J >= 0.8 a pair shares most of its shingles, so sharing at
+    least one rare one is near-certain on real corpora. Step 4's self-join
+    is bounded by near-dup cluster sizes (only candidate docs participate).
+    """
+    from pyspark import StorageLevel
+
+    t = int(threshold_millis)
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    hashed = with_shingle_hashes(sh).select(
+        F.col(id_col).alias("doc_id"),
+        F.col("shingle_hashes").alias("hs_arr"))
+    ex = hashed.select("doc_id", F.explode("hs_arr").alias("hs"))
+    dfreq = ex.groupBy("hs").agg(F.count("*").alias("freq"))
+    # annotate every exploded row with its corpus frequency ONCE; both sides
+    # of this join shuffle ex by hs, so Catalyst reuses one exchange and the
+    # shingling scan runs a single time. ex_f then feeds every consumer
+    # (rare pairs, per-doc stats, hot pairs) from a spill-safe cache — at
+    # warehouse scale this is the intermediate you'd checkpoint to a table.
+    rare = F.col("freq") <= max_df
+    ex_f = ex.join(dfreq, "hs").persist(StorageLevel.MEMORY_AND_DISK)
+
+    ex_rare = ex_f.where(rare).select("doc_id", "hs")
+    pairs_rare = (ex_rare.alias("a").join(ex_rare.alias("b"), "hs")
+                  .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                  .groupBy(F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b"))
+                  .agg(F.count("*").alias("inter_rare")))
+
+    # per-doc set + hot sizes in ONE pass (shingles are distinct per doc,
+    # so count == set size)
+    stats = ex_f.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        F.sum((~rare).cast("long")).alias("n_hot"))
+
+    cand = (pairs_rare
+            .join(stats.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("n_a"),
+                               F.col("n_hot").alias("hot_a")), "doc_a")
+            .join(stats.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("n_b"),
+                               F.col("n_hot").alias("hot_b")), "doc_b")
+            .withColumn("max_inter",
+                        F.col("inter_rare") + F.least("hot_a", "hot_b"))
+            .where(F.lit(1000) * F.col("max_inter")
+                   >= F.lit(t) * (F.col("n_a") + F.col("n_b") - F.col("max_inter"))))
+
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    ex_hot_c = ex_f.where(~rare).select("doc_id", "hs").join(cand_docs, "doc_id")
+    pairs_hot = (ex_hot_c.alias("a").join(ex_hot_c.alias("b"), "hs")
+                 .where(F.col("a.doc_id") < F.col("b.doc_id"))
+                 .groupBy(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                 .agg(F.count("*").alias("inter_hot")))
+
+    return (cand.join(pairs_hot, ["doc_a", "doc_b"], "left")
+            .withColumn("inter",
+                        F.col("inter_rare") + F.coalesce("inter_hot", F.lit(0)))
+            .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+            .withColumn("jacc_millis",
+                        F.floor(F.lit(1000.0) * F.col("inter") / F.col("uni"))
+                        .cast("long"))
+            .where(F.col("jacc_millis") >= t)
+            .select("doc_a", "doc_b", "jacc_millis"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",

@@ -48,33 +48,40 @@ def extract_features(df: DataFrame, media_col: str = "media",
                      dim: int = FEATURE_DIM, out_col: str = "features") -> DataFrame:
     """Deterministic fake feature extraction over binary payloads.
 
-    Stand-in for a real encoder: features = seeded-PRNG(xxh64(payload)).
-    The Arrow plumbing (ListArray construction, batch shape, schema) is the
-    real production path; only the decode math is fake.
+    Stand-in for a real encoder. The payload hash is computed JVM-side
+    (``F.xxhash64(media.bytes)`` inside whole-stage codegen — bytes are
+    never touched by Python), and the feature math is a fully vectorized
+    numpy mix of that 64-bit seed: ``dim`` batched XXH64 passes mapped to
+    [-1, 1). The Arrow plumbing (ListArray construction from flat buffers,
+    batch shape, schema) is the real production path; only the decode math
+    is fake — see the module STUB NOTICE.
     """
     import pyarrow as pa
 
-    from ..hashing import xxh64_bytes
+    from ..hashing import xxh64_u64
 
+    seeded = df.withColumn("__seed", F.xxhash64(F.col(f"{media_col}.bytes")))
     in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{in_fields}, {out_col} array<float>"
 
     def run(batches):
         for batch in batches:
-            media = batch.column(media_col)
-            if hasattr(media, "combine_chunks"):
-                media = media.combine_chunks()
-            payloads = media.field("bytes")
-            feats = np.empty((batch.num_rows, dim), dtype=np.float32)
-            for i in range(batch.num_rows):  # hash per payload; decode is I/O-bound anyway
-                data = payloads[i].as_py() or b""
-                seed = xxh64_bytes(data)
-                feats[i] = np.random.default_rng(seed).standard_normal(dim)
-            cols = [batch.column(j) for j in range(batch.num_columns)]
-            cols.append(pa.array(feats.tolist(), pa.list_(pa.float32())))
-            yield pa.record_batch(cols, names=list(batch.schema.names) + [out_col])
+            n = batch.num_rows
+            seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
+                     .astype(np.int64).view(np.uint64))
+            feats = np.empty((n, dim), dtype=np.float32)
+            for j in range(dim):  # dim vectorized passes, no per-row Python
+                u = xxh64_u64(seeds, np.uint64(1 + j)).astype(np.float64) / 2.0**64
+                feats[:, j] = (2.0 * u - 1.0).astype(np.float32)
+            keep = [k for k, nm in enumerate(batch.schema.names) if nm != "__seed"]
+            cols = [batch.column(k) for k in keep]
+            names = [batch.schema.names[k] for k in keep]
+            offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+            cols.append(pa.ListArray.from_arrays(
+                offsets, pa.array(feats.ravel(), pa.float32())))
+            yield pa.record_batch(cols, names=names + [out_col])
 
-    return df.mapInArrow(run, schema)
+    return seeded.mapInArrow(run, schema)
 
 
 def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:

@@ -67,26 +67,37 @@ class TDigest:
         order = np.argsort(v, kind="stable")
         v, w = v[order], w[order]
         total = w.sum()
-        # greedy left-to-right merge under the k1 size bound
-        out_m, out_w = [], []
-        cur_m, cur_w = v[0], w[0]
-        q_left = 0.0
-        k_left = float(self._k1(np.array([0.0]))[0])
-        for i in range(1, v.size):
-            q_right = (q_left * total + cur_w + w[i]) / total
-            if float(self._k1(np.array([q_right]))[0]) - k_left <= 1.0:
-                cur_m += (v[i] - cur_m) * (w[i] / (cur_w + w[i]))
-                cur_w += w[i]
+        # greedy left-to-right merge under the k1 size bound, vectorized:
+        # a centroid starting at k_left absorbs every point whose cumulative
+        # weight stays <= total * k1_inv(k_left + 1), so each cut point is
+        # one searchsorted into the cumulative-weight array. The loop runs
+        # once per OUTPUT centroid (~compression), not once per point.
+        cum = np.cumsum(w)
+        delta = self.compression
+        two_pi = 2.0 * np.pi
+        k_max = delta / 4.0  # k1(1) = (delta/2pi) * asin(1)
+        cuts = []            # exclusive end index of each centroid
+        start = 0
+        cum_before = 0.0
+        n = v.size
+        while start < n:
+            k_left = (delta / two_pi) * np.arcsin(
+                np.clip(2.0 * cum_before / total - 1.0, -1.0, 1.0))
+            k_bound = k_left + 1.0
+            if k_bound >= k_max:
+                j = n
             else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                q_left += cur_w / total
-                k_left = float(self._k1(np.array([q_left]))[0])
-                cur_m, cur_w = v[i], w[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+                q_max = (np.sin(two_pi * k_bound / delta) + 1.0) / 2.0
+                j = int(np.searchsorted(cum, q_max * total, side="right"))
+                j = min(max(j, start + 1), n)  # at least one point per centroid
+            cuts.append(j)
+            cum_before = cum[j - 1]
+            start = j
+        starts = np.concatenate([[0], np.asarray(cuts[:-1], dtype=np.int64)])
+        seg_w = np.add.reduceat(w, starts)
+        seg_vw = np.add.reduceat(v * w, starts)
+        self.means = seg_vw / seg_w
+        self.weights = seg_w
 
     # ------------------------------------------------------------------
     def quantile(self, q) -> np.ndarray | float:

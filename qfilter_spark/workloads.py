@@ -24,6 +24,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata only — no data scan.
+
+    Replaces the round-1 ``df.count()`` capacity pre-scans: at warehouse
+    scale those were a full extra pass over the corpus per query, while
+    footers (or catalog statistics) give the same number for free.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.read_metadata(path).num_rows
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the scan produced
+    fewer splits than cores (small single-file inputs). At warehouse scale
+    the scan has thousands of splits and this is a no-op — no extra shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _hashed(df: DataFrame, col: str, out: str = "h") -> DataFrame:
     """int64 XXH64 column, JVM-side (cast to long first: int32 lanes differ)."""
     return df.withColumn(out, F.xxhash64(F.col(col).cast("long")))
@@ -43,7 +72,7 @@ def _one_row(spark: SparkSession, **cols) -> DataFrame:
 def q_rsqf_membership(spark, sf_dir):
     """Zero false negatives: every inserted doc_id probes as contained."""
     docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     blob = build_sketch(docs, spec, fan_in=8)
     probed = probe_hashes(docs.select("h"), blob, "h", out_col="c", as_bool=True)
@@ -54,7 +83,7 @@ def q_rsqf_membership(spark, sf_dir):
 def q_rsqf_fpr(spark, sf_dir):
     """Observed FPR over 50k absent keys <= configured max error ratio."""
     docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     blob = build_sketch(docs, spec, fan_in=8)
     sk = sketches.loads(blob)
@@ -69,7 +98,7 @@ def q_rsqf_fpr(spark, sf_dir):
 def q_rsqf_counting(spark, sf_dir):
     """Counting semantics: estimate >= true multiplicity for every key."""
     orders = _hashed(load(spark, sf_dir, "orders"), "o_custkey")
-    n = orders.count()
+    n = table_rows(sf_dir, "orders")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.001), "hash_col", "h")
     blob = build_sketch(orders, spec, fan_in=8)
     truth = orders.groupBy("o_custkey", "h").agg(F.count("*").alias("true_cnt"))
@@ -82,7 +111,7 @@ def q_rsqf_counting(spark, sf_dir):
 def q_rsqf_merge_invariance(spark, sf_dir):
     """Permuted tree-merge orders give bit-identical filters."""
     li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey").repartition(8)
-    n = li.count()
+    n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     parts = [bytes(r["payload"]) for r in partial_sketches(li, spec).collect()]
 
@@ -105,7 +134,7 @@ def q_rsqf_merge_invariance(spark, sf_dir):
 def q_rsqf_growth(spark, sf_dir):
     """Resizeable filter grows through capacity doublings, keeps all items."""
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
-    n = ev.count()
+    n = table_rows(sf_dir, "events")
     spec = SketchSpec("rsqf", dict(capacity=max(256, 2 * n), fp_rate=0.01,
                                    resizeable_from=64), "hash_col", "h")
     blob = build_sketch(ev, spec, fan_in=8)
@@ -116,27 +145,38 @@ def q_rsqf_growth(spark, sf_dir):
 
 
 def q_rsqf_remove(spark, sf_dir):
-    """Delete one-third of inserted keys; the rest remain contained."""
+    """Delete one-third of inserted keys; the rest remain contained.
+
+    Fully distributed (reference remove semantics src/lib.rs:1056-1129,
+    tests src/lib.rs:1687-1754): the filter lives as a sharded table,
+    retractions shuffle to their fingerprint shard (dist/sharded.py
+    remove_sharded), and the survivors are probed through the same
+    co-partitioned group join as the build. No data row ever reaches the
+    driver — only per-shard aggregates.
+    """
+    from .dist.sharded import build_sharded_filter, probe_sharded, remove_sharded
+
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
-    spec = SketchSpec("rsqf", dict(capacity=max(64, ev.count()), fp_rate=0.001),
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.001),
                       "hash_col", "h")
-    blob = build_sketch(ev, spec, fan_in=8)
-    sk = sketches.loads(blob)
-    removed = np.array([r["h"] for r in ev.where("event_id % 3 = 0").collect()],
-                       dtype=np.int64).view(np.uint64)
-    for h in removed:
-        sk.filter.remove_fingerprint(int(h))
+    n_shards = 16
+    filt = build_sharded_filter(ev, spec, n_shards=n_shards)
+    after = remove_sharded(filt, ev.where("event_id % 3 = 0"), "h",
+                           n_shards, spec).cache()
     keep = ev.where("event_id % 3 != 0")
-    n_contained = probe_hashes(keep.select("h"), sk.to_bytes(), "h",
-                               out_col="c", as_bool=True) \
-        .agg(F.sum(F.col("c").cast("long")).alias("n")).collect()[0]["n"]
-    return _one_row(spark, len_after=len(sk.filter), n_remaining_contained=int(n_contained))
+    stats = (probe_sharded(keep, "h", after, n_shards, spec)
+             .agg(F.sum("n_contained").alias("n")).collect()[0])
+    len_after = after.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
+    after.unpersist()
+    return _one_row(spark, len_after=int(len_after),
+                    n_remaining_contained=int(stats["n"]))
 
 
 def q_rsqf_serde_roundtrip(spark, sf_dir):
     """Blocked physical layout encode -> decode is lossless."""
     docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     blob = build_sketch(docs, spec, fan_in=8)
     sk = sketches.loads(blob)
@@ -155,7 +195,7 @@ def q_rsqf_sharded(spark, sf_dir):
     from .dist.sharded import build_sharded_filter, probe_sharded, sharded_to_single
 
     li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey")
-    n = li.count()
+    n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     n_shards = 16
     filter_df = build_sharded_filter(li, spec, n_shards=n_shards)
@@ -184,7 +224,7 @@ def q_hll_distinct(spark, sf_dir):
 
 def q_cms_heavy_hitters(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").withColumn("h", F.xxhash64("source"))
-    n = docs.count()
+    n = table_rows(sf_dir, "documents")
     blob = build_sketch(docs, SketchSpec("cms", dict(eps=0.001, delta=0.01),
                                          "hash_col", "h"), fan_in=8)
     truth = docs.groupBy("source", "h").agg(F.count("*").alias("exact_cnt"))
@@ -197,6 +237,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 def _quantile_check(spark, df, col, kind, params, tol_millis):
+    df = fan_out(df)
     spec = SketchSpec(kind, params, "values", col)
     blob = build_sketch(df, spec, fan_in=8)
     sk = sketches.loads(blob)
@@ -226,7 +267,7 @@ def q_tdigest_quantiles(spark, sf_dir):
 
 def q_bloom_membership(spark, sf_dir):
     part = _hashed(load(spark, sf_dir, "part"), "p_partkey")
-    n = part.count()
+    n = table_rows(sf_dir, "part")
     blob = build_sketch(part, SketchSpec("bloom", dict(capacity=max(64, n), fp_rate=0.01),
                                          "hash_col", "h"), fan_in=8)
     li = _hashed(load(spark, sf_dir, "lineitem"), "l_partkey")
@@ -264,36 +305,16 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b", "jacc_millis")
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir, max_df: int = 500):
-    """Exact n-gram Jaccard >= 0.8 via explode + equi-join (no minhash).
-
-    Candidate pairs share at least one *rare* shingle (document frequency
-    <= max_df): hot shingles would blow the self-join up quadratically and
-    contribute no discrimination. A J >= 0.8 pair shares the vast majority
-    of its shingles, so it shares rare ones too (recall ~1 unless a pair's
-    every common shingle is hot); verification is the exact set Jaccard on
-    the full shingle arrays, identical to the DuckDB oracle's definition.
-    """
-    docs = load(spark, sf_dir, "documents")
-    sh = dedup.with_shingles(docs.select("doc_id", "text"))
-    hashed = dedup.with_shingle_hashes(sh)
-    # candidate join on shingle HASHES (8-byte keys through the shuffle,
-    # not strings); exact verification still uses the string sets
-    ex = hashed.select("doc_id", F.explode("shingle_hashes").alias("hs"))
-    rare = (ex.groupBy("hs").agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_df).select("hs"))
-    ex_rare = ex.join(rare, "hs")
-    cand = (ex_rare.alias("a").join(ex_rare.alias("b"), "hs")
-            .where(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    verified = dedup.exact_jaccard_pairs(cand, sh)
-    return verified.where("jacc_millis >= 800").select("doc_a", "doc_b", "jacc_millis")
+    """Exact n-gram Jaccard >= 0.8 as a pure join + count-aggregation plan
+    (no minhash, no pair materialization, no string arrays in any shuffle) —
+    see :func:`qfilter_spark.functions.dedup.ngram_jaccard_pairs`."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(docs, threshold_millis=800, max_df=max_df)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -303,7 +324,7 @@ def q_dedup_simhash(spark, sf_dir):
     cutoff keeps recall at 1 with margin while still pruning ~all of the
     non-near-dup candidate space (expected hamming for unrelated docs ~32).
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     sim = dedup.simhash_near_pairs(docs, max_hamming=20).select("doc_a", "doc_b")
     verified = dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b")
     return sim.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
@@ -397,7 +418,7 @@ def q_merge_lineage_resume(spark, sf_dir):
     import os as _os
 
     li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey").repartition(8)
-    n = li.count()
+    n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     with tempfile.TemporaryDirectory() as d:
         ckpt = _os.path.join(d, "lineage")
@@ -422,7 +443,7 @@ def q_streaming_sketch(spark, sf_dir):
     from .streaming import StreamingSketch
 
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
-    n = ev.count()
+    n = table_rows(sf_dir, "events")
     spec = SS("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     with tempfile.TemporaryDirectory() as d:
         ss = StreamingSketch(spec, d)
