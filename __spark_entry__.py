@@ -32,6 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsqf_merge_invariance": W.q_rsqf_merge_invariance,
         "rsqf_growth": W.q_rsqf_growth,
         "rsqf_remove": W.q_rsqf_remove,
+        "rsqf_fingerprint_size": W.q_rsqf_fingerprint_size,
+        "rsqf_shrink": W.q_rsqf_shrink,
         "rsqf_serde_roundtrip": W.q_rsqf_serde_roundtrip,
         "rsqf_sharded": W.q_rsqf_sharded,
         "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
@@ -60,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_lineage_resume": W.q_merge_lineage_resume,
         # streaming
         "streaming_sketch": W.q_streaming_sketch,
+        "streaming_windowed": W.q_streaming_windowed,
     }
 
 
@@ -97,6 +100,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) FILTER (WHERE event_id % 3 <> 0) AS len_after, "
             "count(*) FILTER (WHERE event_id % 3 <> 0) AS n_remaining_contained "
             "FROM events",
+        "rsqf_fingerprint_size":
+            "SELECT CAST(fp_bits AS BIGINT) AS fp_bits, "
+            "CAST(50 AS BIGINT) AS n_fps, true AS roundtrip_ok "
+            "FROM (VALUES (7), (16), (24), (31), (49), (64)) AS t(fp_bits)",
+        "rsqf_shrink":
+            "SELECT count(*) AS n_fps, true AS blocks_halved, "
+            "true AS fp_size_invariant, count(*) AS n_contained FROM events",
         "rsqf_serde_roundtrip":
             "SELECT count(*) AS n_fps, true AS roundtrip_ok FROM documents",
         "rsqf_sharded":
@@ -160,6 +170,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",
+        "streaming_windowed":
+            "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start, "
+            "count(*) AS n_items, true AS window_ok FROM events GROUP BY 1",
         "topk_tokens":
             "SELECT word, cnt, true AS tracked FROM ("
             "  SELECT word, count(*) AS cnt FROM ("

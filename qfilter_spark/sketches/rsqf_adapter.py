@@ -37,8 +37,12 @@ class RsqfSketch:
     @classmethod
     def create(cls, capacity: int, fp_rate: float = 0.01,
                keep_duplicates: bool = True, resizeable_from: int | None = None,
-               ) -> "RsqfSketch":
-        if resizeable_from is not None:
+               fingerprint_bits: int | None = None) -> "RsqfSketch":
+        if fingerprint_bits is not None:
+            # explicit fingerprint width (reference with_fingerprint_size,
+            # src/lib.rs:448-466); fp_rate is implied by the width
+            f = Filter.with_fingerprint_size(capacity, fingerprint_bits)
+        elif resizeable_from is not None:
             f = Filter.new_resizeable(resizeable_from, capacity, fp_rate)
         else:
             f = Filter.new(capacity, fp_rate)

@@ -173,6 +173,58 @@ def q_rsqf_remove(spark, sf_dir):
                     n_remaining_contained=int(stats["n"]))
 
 
+def q_rsqf_fingerprint_size(spark, sf_dir):
+    """with_fingerprint_size roundtrip at every supported width class.
+
+    Mirrors reference test src/lib.rs:1791-1819: inserting hashes as
+    DUPLICATED fingerprints into ``with_fingerprint_size(1, bits)`` yields
+    exactly the sorted multiset of the mask-truncated hashes, for widths
+    {7, 16, 24, 31, 49, 64}. Built through the distributed partial/merge
+    path (same kernels as every other filter), on a deterministic 50-key
+    slice (the width-7 filter is capacity-bounded by construction, as in
+    the reference test which uses capacity 1).
+    """
+    ev = _hashed(load(spark, sf_dir, "events"), "event_id")
+    hs = np.array([r["h"] for r in
+                   ev.orderBy("event_id").limit(50).select("h").collect()],
+                  dtype=np.int64).view(np.uint64)
+    base = spark.createDataFrame([(int(h),) for h in hs.view(np.int64)],
+                                 "h long").repartition(4)
+    rows = []
+    for bits in (7, 16, 24, 31, 49, 64):
+        spec = SketchSpec("rsqf", dict(capacity=1, fingerprint_bits=bits),
+                          "hash_col", "h")
+        sk = sketches.loads(build_sketch(base, spec, fan_in=4))
+        mask = np.uint64((1 << bits) - 1 if bits < 64 else 0xFFFFFFFFFFFFFFFF)
+        expect = np.sort(hs & mask)
+        ok = (np.array_equal(sk.filter.fingerprints(), expect)
+              and sk.filter.fingerprint_size() == bits)
+        rows.append((bits, len(sk.filter), bool(ok)))
+    return spark.createDataFrame(
+        rows, "fp_bits long, n_fps long, roundtrip_ok boolean")
+
+
+def q_rsqf_shrink(spark, sf_dir):
+    """shrink_to_fit halves the block count while keeping every item and
+    the fingerprint size (reference src/lib.rs:1311-1328): build at 4x
+    headroom so len <= capacity/2, shrink one step, re-probe everything."""
+    ev = _hashed(load(spark, sf_dir, "events"), "event_id")
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=max(256, 4 * n), fp_rate=0.01),
+                      "hash_col", "h")
+    sk = sketches.loads(build_sketch(ev, spec, fan_in=8))
+    blocks0, fs0 = sk.filter.total_blocks(), sk.filter.fingerprint_size()
+    sk.filter.shrink_to_fit()
+    contained = probe_hashes(ev.select("h"), sk.to_bytes(), "h",
+                             out_col="c", as_bool=True) \
+        .agg(F.sum(F.col("c").cast("long")).alias("n")).collect()[0]["n"]
+    return _one_row(spark,
+                    n_fps=len(sk.filter),
+                    blocks_halved=bool(sk.filter.total_blocks() * 2 == blocks0),
+                    fp_size_invariant=bool(sk.filter.fingerprint_size() == fs0),
+                    n_contained=int(contained))
+
+
 def q_rsqf_serde_roundtrip(spark, sf_dir):
     """Blocked physical layout encode -> decode is lossless."""
     docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
@@ -455,6 +507,83 @@ def q_streaming_sketch(spark, sf_dir):
         sk, meta, _ = ss.current()
     return _one_row(spark, n_items=int(meta["n_items"]),
                     len_matches=bool(len(sk.filter) == n))
+
+
+def q_streaming_windowed(spark, sf_dir):
+    """Event-time windowed sketches with watermark-driven finalization,
+    driven deterministically (north_rule: windowed/keyed streaming state).
+
+    The events table is re-played as a file-source stream in event-time
+    order (5 chunk files, one per trigger); tumbling 1-day windows are
+    maintained as per-window RSQF state via ``applyInPandasWithState``
+    (EventTimeTimeout). A far-future sentinel row pushes the watermark past
+    every real window so each one finalizes exactly once. The finalized
+    (win_start, n_items) rows must equal the batch per-day counts — the
+    exact DuckDB oracle — and a full second replay must produce an
+    identical result (replay idempotence).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming import windowed_sketch_stream
+
+    ev = load(spark, sf_dir, "events")
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01),
+                      "hash_col", "h")
+
+    def run_once(tag: str):
+        with tempfile.TemporaryDirectory() as d:
+            src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+            os.makedirs(src)
+            # deterministic replay: event-time-ordered chunks, one per
+            # trigger (stream-source setup, not operator work — a real
+            # deployment reads Kafka/files already in place)
+            schema = pa.schema([("ts", pa.timestamp("us")),
+                                ("event_id", pa.int64())])
+            tbl = pa.Table.from_pandas(
+                ev.orderBy("ts").select("ts", "event_id").toPandas(),
+                preserve_index=False).cast(schema)
+            sentinel = pa.table(
+                {"ts": pa.array([4102444800000000], pa.timestamp("us")),
+                 "event_id": pa.array([-1], pa.int64())}).cast(schema)  # 2100-01-01
+            step = (tbl.num_rows + 3) // 4
+            chunks = [tbl.slice(i * step, step) for i in range(4)]
+            chunks.append(sentinel)
+            for i, c in enumerate(chunks):
+                p = os.path.join(src, f"{i:02d}.parquet")
+                pq.write_table(c, p)
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+            stream = (spark.readStream.schema("ts timestamp, event_id long")
+                      .option("maxFilesPerTrigger", 1).parquet(src)
+                      .withColumn("h", F.xxhash64(F.col("event_id").cast("long"))))
+            out = windowed_sketch_stream(stream, spec, "ts",
+                                         window_secs=86_400,
+                                         watermark_delay="1 second")
+            name = f"win_sketch_{tag}_{uuid.uuid4().hex[:8]}"
+            q = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            rows = spark.sql(
+                f"SELECT win_start, n_items, sketch_len FROM {name} "
+                "WHERE final ORDER BY win_start").collect()
+            spark.catalog.dropTempView(name)
+            return [(int(r["win_start"]), int(r["n_items"]), int(r["sketch_len"]))
+                    for r in rows]
+
+    first, second = run_once("a"), run_once("b")
+    replay_identical = first == second
+    return spark.createDataFrame(
+        [(w, ni, bool(ni == sl and replay_identical)) for w, ni, sl in first],
+        "win_start long, n_items long, window_ok boolean")
 
 
 # ---------------------------------------------------------------------------
