@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsqf_shrink": W.q_rsqf_shrink,
         "rsqf_serde_roundtrip": W.q_rsqf_serde_roundtrip,
         "rsqf_sharded": W.q_rsqf_sharded,
+        "rsqf_sharded_skew": W.q_rsqf_sharded_skew,
         "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
         # sibling sketches (north_rule)
         "hll_distinct": W.q_hll_distinct,
@@ -112,6 +113,10 @@ def oracle_sql() -> dict[str, str]:
         "rsqf_sharded":
             "SELECT count(*) AS n_probed, count(*) AS n_contained, "
             "true AS sharded_equals_single FROM lineitem",
+        "rsqf_sharded_skew":
+            "SELECT 2 * count(*) AS n_probed, 2 * count(*) AS n_contained, "
+            "true AS hot_shard_split, true AS rows_bounded, "
+            "true AS split_equals_single FROM events",
         "ngram_sketch_tokens":
             f"SELECT CAST(sum(greatest({toks} - 2, 0)) AS BIGINT) AS n_ngrams, "
             "true AS matches_exact FROM documents",

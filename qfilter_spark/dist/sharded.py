@@ -335,6 +335,279 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
             .applyInArrow(apply_removals, SHARDED_SCHEMA))
 
 
+# ---------------------------------------------------------------------------
+# hot-shard splitting: bounded per-task state under fingerprint-prefix skew
+# ---------------------------------------------------------------------------
+#
+# A shard whose fingerprint range is hit disproportionately (biased upstream
+# hashes, adversarial prefixes) would concentrate one task's memory. The fix
+# is a RangePartitioner-style split: chunk rows already carry SORTED
+# fingerprint runs, so each chunk also ships a 1/4096 systematic sample;
+# oversized shards get quantile split points planned from the pooled samples
+# (driver-side metadata only — a few KB), and every consumer routes by
+# directory index instead of shard id. Sub-rows keep SHARD-local fingerprint
+# coordinates, so the canonical form and the blob codec are untouched — the
+# split is pure metadata, and the union of sub-rows is bit-equal to the
+# unsplit shard. Limitation: a multiset piled onto ONE fingerprint value
+# cannot be range-split (its copies stay in one row); distinct-key skew is
+# fully handled.
+
+SPLIT_SCHEMA = "key int, shard int, n_fps long, payload binary"
+_SAMPLES_PER_CHUNK = 64  # bounded per (task, shard) row => driver metadata
+                         # stays KB-scale at ANY corpus size (RangePartitioner
+                         # uses the same bounded-sample-per-partition idea)
+
+
+class ShardDirectory:
+    """Routing metadata for a (possibly split) sharded filter.
+
+    ``starts`` is the ascending array of global-fingerprint range starts,
+    one per table row; row ``i`` owns [starts[i], starts[i+1]). Entry i's
+    shard id is ``shards[i]`` (= starts[i] >> (fs-k)).
+    """
+
+    def __init__(self, starts: np.ndarray, fs: int, k: int):
+        self.starts = np.asarray(starts, dtype=np.uint64)
+        self.fs = fs
+        self.k = k
+        self.shards = (self.starts >> np.uint64(fs - k)).astype(np.int64)
+
+    def route(self, fps: np.ndarray) -> np.ndarray:
+        """Row key (directory index) for each global fingerprint."""
+        return (np.searchsorted(self.starts, fps, side="right") - 1).astype(np.int64)
+
+    def split_sorted(self, fps: np.ndarray) -> list[tuple[int, np.ndarray]]:
+        """Split an ASCENDING fingerprint array at row boundaries."""
+        bounds = np.searchsorted(fps, self.starts[1:], side="left")
+        chunks = np.split(fps, bounds)
+        return [(i, c) for i, c in enumerate(chunks) if c.size]
+
+
+def plan_directory(sizes_samples: list, n_shards: int, fs: int,
+                   max_fps_per_row: int) -> "ShardDirectory":
+    """Plan split points from per-chunk (shard, n_fps, sample) metadata.
+
+    Shards with more fingerprints than ``max_fps_per_row`` are split into
+    ceil(n/max) ranges at quantiles of the pooled chunk samples — the same
+    estimator Spark's RangePartitioner uses. Pure driver-side metadata.
+    """
+    k = shard_bits_for(n_shards)
+    totals = np.zeros(n_shards, dtype=np.int64)
+    samples: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
+    for shard, n, smp in sizes_samples:
+        totals[shard] += n
+        if smp is not None and len(smp):
+            samples[shard].append(np.frombuffer(smp, dtype=np.uint64))
+    starts: list[int] = []
+    for s in range(n_shards):
+        base = s << (fs - k)
+        starts.append(base)
+        n_rows = -(-int(totals[s]) // max_fps_per_row) if totals[s] else 1
+        if n_rows > 1 and samples[s]:
+            pool = np.sort(np.concatenate(samples[s]))
+            qs = (np.arange(1, n_rows) * pool.size) // n_rows
+            cuts = np.unique(pool[qs])
+            starts.extend(int(c) for c in cuts if int(c) > base)
+    return ShardDirectory(np.array(sorted(set(starts)), dtype=np.uint64), fs, k)
+
+
+def _emit_chunk_rows(df, spec_like: SketchSpec, n_shards: int, fs: int,
+                     max_buffer: int, with_samples: bool):
+    """mapInArrow pass: per-(task, shard) sorted fingerprint chunk rows,
+    optionally with a 1/4096 systematic sample column for split planning."""
+    import pyarrow as pa
+
+    k = shard_bits_for(n_shards)
+    shift = np.uint64(fs - k)
+    mask = np.uint64((1 << fs) - 1) if fs < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    schema = SHARDED_SCHEMA + (", sample binary" if with_samples else "")
+
+    def flush(buf: list) -> "pa.RecordBatch":
+        fps = np.concatenate(buf)
+        fps.sort(kind="stable")
+        bounds = np.searchsorted(
+            fps, np.arange(1, n_shards, dtype=np.uint64) << shift, side="left")
+        chunks = np.split(fps, bounds)
+        shards = [s for s in range(n_shards) if chunks[s].size]
+        cols = [
+            pa.array(shards, pa.int32()),
+            pa.array([int(chunks[s].size) for s in shards], pa.int64()),
+            pa.array([_pack_chunk(chunks[s], s, fs - k) for s in shards],
+                     pa.binary()),
+        ]
+        names = ["shard", "n_fps", "payload"]
+        if with_samples:
+            cols.append(pa.array(
+                [chunks[s][::max(1, chunks[s].size // _SAMPLES_PER_CHUNK)]
+                 .tobytes() for s in shards],
+                pa.binary()))
+            names.append("sample")
+        return pa.record_batch(cols, names=names)
+
+    def emit(batches):
+        buf: list[np.ndarray] = []
+        buffered = 0
+        for batch in batches:
+            if batch.num_rows:
+                data = spec_like.extract(batch)
+                if data.size:
+                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
+                    buffered += data.size
+            if buffered >= max_buffer:
+                yield flush(buf)
+                buf, buffered = [], 0
+        if buf:
+            yield flush(buf)
+
+    return df.select(spec_like.col).mapInArrow(emit, schema)
+
+
+def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
+                               max_fps_per_row: int = 16_000_000,
+                               max_buffer: int = 16_000_000):
+    """Skew-resistant build: returns (filter_df, directory).
+
+    Two passes over the CHUNK rows (never the raw input): pass 1 collects
+    per-shard sizes + samples (driver sees only metadata); pass 2 re-splits
+    each sorted chunk at the planned boundaries and merges per row key.
+    Every merge task handles <= ~max_fps_per_row fingerprints regardless of
+    prefix skew. Row payloads stay in shard-local coordinates.
+    """
+    import pandas as pd
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    k = shard_bits_for(n_shards)
+    qbits, rbits, fs = _fp_meta(spec)
+    assert k <= qbits
+    keep = getattr(spec.make(), "keep_duplicates", True)
+
+    chunks_df = _emit_chunk_rows(df, spec, n_shards, fs, max_buffer,
+                                 with_samples=True) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    meta = chunks_df.select("shard", "n_fps", "sample").collect()
+    directory = plan_directory(
+        [(r["shard"], r["n_fps"], r["sample"]) for r in meta],
+        n_shards, fs, max_fps_per_row)
+
+    import pyarrow as pa
+
+    def resplit(batches):
+        for batch in batches:
+            shards = batch.column("shard").to_numpy(zero_copy_only=False)
+            payloads = batch.column("payload")
+            out_key, out_shard, out_n, out_pay = [], [], [], []
+            for i in range(batch.num_rows):
+                shard = int(shards[i])
+                fps = _unpack_chunk(payloads[i].as_py(), shard, fs - k)
+                for key, part in directory.split_sorted(fps):
+                    if directory.shards[key] != shard:
+                        continue  # empty boundary slices of other shards
+                    out_key.append(key)
+                    out_shard.append(shard)
+                    out_n.append(int(part.size))
+                    out_pay.append(_pack_chunk(part, shard, fs - k))
+            yield pa.record_batch(
+                [pa.array(out_key, pa.int32()), pa.array(out_shard, pa.int32()),
+                 pa.array(out_n, pa.int64()), pa.array(out_pay, pa.binary())],
+                names=["key", "shard", "n_fps", "payload"])
+
+    keyed = chunks_df.mapInArrow(resplit, SPLIT_SCHEMA)
+
+    def merge_row(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = int(pdf["shard"].iloc[0])
+        runs = [_unpack_chunk(p, shard, fs - k) for p in pdf["payload"]]
+        fps = np.concatenate(runs) if runs else np.empty(0, dtype=np.uint64)
+        fps.sort(kind="stable")
+        if not keep:
+            fps = np.unique(fps)
+        blob = _shard_blob(fps, shard, qbits - k, rbits, keep)
+        return pd.DataFrame({"key": [int(key[0])], "shard": [shard],
+                             "n_fps": [int(fps.size)], "payload": [blob]})
+
+    out = keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA)
+    return out, directory
+
+
+def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
+                        directory: "ShardDirectory", spec: SketchSpec):
+    """Chunked probe against a split filter table: sorted probe chunks are
+    cut at the directory boundaries and co-grouped by row key."""
+    import pyarrow as pa
+
+    fs, k = directory.fs, directory.k
+
+    def emit_probe_chunks(batches):
+        mask = (np.uint64((1 << fs) - 1) if fs < 64
+                else np.uint64(0xFFFFFFFFFFFFFFFF))
+        buf: list[np.ndarray] = []
+        for batch in batches:
+            if batch.num_rows:
+                data = spec_in.extract(batch)
+                if data.size:
+                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
+        if not buf:
+            return
+        fps = np.concatenate(buf)
+        fps.sort(kind="stable")
+        keys, shards, ns, pays = [], [], [], []
+        for key, part in directory.split_sorted(fps):
+            shard = int(directory.shards[key])
+            keys.append(key)
+            shards.append(shard)
+            ns.append(int(part.size))
+            pays.append(_pack_chunk(part, shard, fs - k))
+        yield pa.record_batch(
+            [pa.array(keys, pa.int32()), pa.array(shards, pa.int32()),
+             pa.array(ns, pa.int64()), pa.array(pays, pa.binary())],
+            names=["key", "shard", "n_fps", "payload"])
+
+    probe_chunks = df.select(spec_in.col).mapInArrow(emit_probe_chunks, SPLIT_SCHEMA)
+
+    def probe_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        if probes_tbl.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int32()),
+                             "n_probed": pa.array([], pa.int64()),
+                             "n_contained": pa.array([], pa.int64())})
+        shard = int(probes_tbl.column("shard")[0].as_py())
+        qs = [_unpack_chunk(p.as_py(), shard, fs - k)
+              for p in probes_tbl.column("payload")]
+        n = sum(int(q.size) for q in qs)
+        hit = 0
+        if filt_tbl.num_rows:
+            sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
+            table = sk.filter._fps
+            lm = _local_mask(fs, k)
+            for q in qs if table.size else ():
+                q = q & lm
+                lo = np.searchsorted(table, q, side="left")
+                hit += int(((lo < table.size)
+                            & (table[np.minimum(lo, table.size - 1)] == q)).sum())
+        return pa.table({"key": pa.array([key[0].as_py()], pa.int32()),
+                         "n_probed": pa.array([n], pa.int64()),
+                         "n_contained": pa.array([hit], pa.int64())})
+
+    return (probe_chunks.groupBy("key")
+            .cogroup(filter_df.groupBy("key"))
+            .applyInArrow(probe_group, "key int, n_probed long, n_contained long"))
+
+
+def split_to_single(filter_df, spec: SketchSpec, n_shards: int) -> bytes:
+    """Collapse a split filter table to one global blob (parity checks)."""
+    k = shard_bits_for(n_shards)
+    qbits, rbits, fs = _fp_meta(spec)
+    keep = getattr(spec.make(), "keep_duplicates", True)
+    rows = sorted(filter_df.collect(), key=lambda r: r["key"])
+    parts = []
+    for r in rows:
+        local = sketches.loads(bytes(r["payload"])).filter.fingerprints()
+        base = np.uint64(int(r["shard"])) << np.uint64(fs - k)
+        parts.append(local + base)
+    fps = (np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64))
+    fps.sort(kind="stable")  # row ranges are disjoint; sort is adaptive
+    return sketches.RsqfSketch(Filter(qbits, rbits, None, fps), keep).to_bytes()
+
+
 def sharded_to_single(filter_df, spec: SketchSpec, n_shards: int = 64) -> bytes:
     """Collapse the shard table to one global blob (parity tests / export).
 

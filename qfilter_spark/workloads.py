@@ -261,6 +261,52 @@ def q_rsqf_sharded(spark, sf_dir):
                     sharded_equals_single=identical)
 
 
+def q_rsqf_sharded_skew(spark, sf_dir):
+    """Hot-shard splitting under adversarial fingerprint-prefix skew.
+
+    Half of all fingerprints are engineered into ONE shard of 16 (biased
+    prefix, distinct low bits). The skew-resistant build (dist/sharded.py
+    build_sharded_filter_split) plans quantile split points from bounded
+    per-chunk samples — pure driver-side metadata — so every table row stays
+    under the per-task bound; the union of sub-rows is bit-equal to the
+    single-blob filter and probes find every inserted fingerprint.
+    """
+    from .dist.sharded import (_fp_meta, build_sharded_filter_split,
+                               probe_sharded_split, split_to_single)
+
+    ev = load(spark, sf_dir, "events")
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=2 * n, fp_rate=0.01), "hash_col", "h")
+    _, _, fs = _fp_meta(spec)
+    n_shards = 16
+    shift = fs - 4
+    low_mask = (1 << shift) - 1
+    uniform = ev.select(F.xxhash64(F.col("event_id").cast("long")).alias("h"))
+    hot = ev.select(
+        (F.lit(3).cast("long") * F.lit(1 << shift)
+         + F.xxhash64((F.col("event_id") + F.lit(10**9)).cast("long"))
+         .bitwiseAND(F.lit(low_mask))).alias("h"))
+    df = fan_out(uniform.union(hot))
+    cap = max(64, n // 3)
+    filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
+                                                 max_fps_per_row=cap)
+    filt = filt.cache()
+    shape = filt.agg(F.max("n_fps").alias("mx"),
+                     F.count("*").alias("rows")).collect()[0]
+    single = sketches.loads(build_sketch(df, spec, fan_in=8))
+    merged = sketches.loads(split_to_single(filt, spec, n_shards))
+    identical = bool(np.array_equal(merged.filter.fingerprints(),
+                                    single.filter.fingerprints()))
+    stats = (probe_sharded_split(df, spec, filt, directory, spec)
+             .groupBy().sum("n_probed", "n_contained").collect()[0])
+    filt.unpersist()
+    return _one_row(spark,
+                    n_probed=int(stats[0]), n_contained=int(stats[1]),
+                    hot_shard_split=bool(shape["rows"] > n_shards + 1),
+                    rows_bounded=bool(shape["mx"] <= 1.5 * cap),
+                    split_equals_single=identical)
+
+
 # ---------------------------------------------------------------------------
 # sibling sketches
 # ---------------------------------------------------------------------------

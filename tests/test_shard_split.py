@@ -1,0 +1,79 @@
+"""Hot-shard splitting: bounded rows under fingerprint-prefix skew,
+bit-equal union, correct probes."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from qfilter_spark import sketches
+from qfilter_spark.dist import SketchSpec, build_sketch
+from qfilter_spark.dist.sharded import (build_sharded_filter_split,
+                                        probe_sharded_split, split_to_single,
+                                        _fp_meta)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """50% of fingerprints land in shard 3 of 16 (prefix-engineered),
+    the rest uniform. Returns (df, spec, n_shards, n_rows)."""
+    n = 8000
+    spec = SketchSpec("rsqf", dict(capacity=2 * n, fp_rate=0.01), "hash_col", "h")
+    _, _, fs = _fp_meta(spec)
+    k = 4
+    shift, low_mask = fs - k, (1 << (fs - k)) - 1
+    uniform = spark.range(0, n).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h"))
+    hot = spark.range(n, 2 * n).select(
+        (F.lit(3).cast("long") * F.lit(1 << shift)
+         + (F.xxhash64(F.col("id").cast("long"))
+            .bitwiseAND(F.lit(low_mask)))).alias("h"))
+    return uniform.union(hot).repartition(8), spec, 16, 2 * n
+
+
+def test_split_bounds_row_sizes(spark, skewed):
+    df, spec, n_shards, n = skewed
+    cap = n // 6
+    filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
+                                                 max_fps_per_row=cap)
+    rows = filt.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["n_fps"])
+    # the hot shard actually split into multiple rows
+    assert len(by_shard[3]) >= 3, by_shard
+    # sampled quantile split: every row within 1.5x of the target bound
+    assert max(r["n_fps"] for r in rows) <= 1.5 * cap, sorted(
+        (r["n_fps"] for r in rows), reverse=True)[:5]
+    # directory rows and table rows agree
+    assert len(rows) == len(directory.starts) - sum(
+        1 for i in range(len(directory.starts))
+        if not any(r["key"] == i for r in rows))
+
+
+def test_split_union_bit_equal_to_single(spark, skewed):
+    df, spec, n_shards, n = skewed
+    filt, _ = build_sharded_filter_split(df, spec, n_shards=n_shards,
+                                         max_fps_per_row=n // 6)
+    single = sketches.loads(build_sketch(df, spec, fan_in=8))
+    merged = sketches.loads(split_to_single(filt, spec, n_shards))
+    assert np.array_equal(merged.filter.fingerprints(),
+                          single.filter.fingerprints())
+
+
+def test_split_probe_zero_false_negatives(spark, skewed):
+    df, spec, n_shards, n = skewed
+    filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
+                                                 max_fps_per_row=n // 6)
+    filt = filt.cache()
+    stats = (probe_sharded_split(df, spec, filt, directory, spec)
+             .groupBy().sum("n_probed", "n_contained").collect()[0])
+    assert int(stats[0]) == n
+    assert int(stats[1]) == n  # every inserted fingerprint found
+    # absent keys: FPR within the configured bound (with slack)
+    absent = spark.range(10**9, 10**9 + 20000).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h"))
+    a = (probe_sharded_split(absent, spec, filt, directory, spec)
+         .groupBy().sum("n_probed", "n_contained").collect()[0])
+    sk = spec.make()
+    assert int(a[1]) / int(a[0]) <= 4 * sk.filter.max_error_ratio() + 0.001
+    filt.unpersist()
