@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsqf_fingerprint_size": W.q_rsqf_fingerprint_size,
         "rsqf_shrink": W.q_rsqf_shrink,
         "rsqf_serde_roundtrip": W.q_rsqf_serde_roundtrip,
+        "rsqf_reference_serde": W.q_rsqf_reference_serde,
         "rsqf_sharded": W.q_rsqf_sharded,
         "rsqf_sharded_skew": W.q_rsqf_sharded_skew,
         "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
@@ -110,6 +111,9 @@ def oracle_sql() -> dict[str, str]:
             "true AS fp_size_invariant, count(*) AS n_contained FROM events",
         "rsqf_serde_roundtrip":
             "SELECT count(*) AS n_fps, true AS roundtrip_ok FROM documents",
+        "rsqf_reference_serde":
+            "SELECT count(*) AS n_fps, true AS bincode_ok, true AS json_ok "
+            "FROM documents",
         "rsqf_sharded":
             "SELECT count(*) AS n_probed, count(*) AS n_contained, "
             "true AS sharded_equals_single FROM lineitem",

@@ -238,6 +238,29 @@ def q_rsqf_serde_roundtrip(spark, sf_dir):
     return _one_row(spark, n_fps=len(sk.filter), roundtrip_ok=bool(ok))
 
 
+def q_rsqf_reference_serde(spark, sf_dir):
+    """Reference serde blob interop (decision record in interop.py):
+    the distributed filter roundtrips losslessly through the Rust struct's
+    bincode-v1 and JSON carriers (fields b/l/q/r/g, src/lib.rs:84-106)."""
+    from . import interop
+
+    docs = _hashed(load(spark, sf_dir, "documents"), "doc_id")
+    n = table_rows(sf_dir, "documents")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
+    f = sketches.loads(build_sketch(docs, spec, fan_in=8)).filter
+    via_bin = interop.from_reference_bincode(interop.to_reference_bincode(f))
+    via_json = interop.from_reference_json(interop.to_reference_json(f))
+
+    def same(g):
+        return (g.qbits == f.qbits and g.rbits == f.rbits
+                and g.max_qbits == f.max_qbits
+                and np.array_equal(g.fingerprints(), f.fingerprints()))
+
+    return _one_row(spark, n_fps=len(f),
+                    bincode_ok=bool(same(via_bin)),
+                    json_ok=bool(same(via_json)))
+
+
 def q_rsqf_sharded(spark, sf_dir):
     """Range-sharded filter == single-blob filter; sharded probe finds all.
 
