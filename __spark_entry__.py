@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_lineage_resume": W.q_merge_lineage_resume,
         # streaming
         "streaming_sketch": W.q_streaming_sketch,
+        "streaming_keyed": W.q_streaming_keyed,
         "streaming_windowed": W.q_streaming_windowed,
     }
 
@@ -179,6 +180,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",
+        "streaming_keyed":
+            "SELECT event_type, count(*) AS n_items, true AS len_matches "
+            "FROM events GROUP BY event_type",
         "streaming_windowed":
             "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start, "
             "count(*) AS n_items, true AS window_ok FROM events GROUP BY 1",

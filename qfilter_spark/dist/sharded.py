@@ -592,6 +592,75 @@ def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
             .applyInArrow(probe_group, "key int, n_probed long, n_contained long"))
 
 
+def remove_sharded_split(filter_df, removals_df, spec_in: SketchSpec,
+                         directory: "ShardDirectory", spec: SketchSpec):
+    """Distributed remove against a SPLIT filter table.
+
+    Retractions are extracted with the same kernel as the build, sorted,
+    cut at the directory boundaries, and co-grouped with their row — the
+    removal shuffle is O(bytes) chunk rows, and per-task memory stays
+    bounded by the split row sizes. Returns the new filter DataFrame
+    (same SPLIT_SCHEMA; reference remove semantics per row,
+    src/lib.rs:1056-1129).
+    """
+    import pyarrow as pa
+
+    fs, k = directory.fs, directory.k
+    keep = getattr(spec.make(), "keep_duplicates", True)
+
+    def emit_removal_chunks(batches):
+        mask = (np.uint64((1 << fs) - 1) if fs < 64
+                else np.uint64(0xFFFFFFFFFFFFFFFF))
+        buf: list[np.ndarray] = []
+        for batch in batches:
+            if batch.num_rows:
+                data = spec_in.extract(batch)
+                if data.size:
+                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
+        if not buf:
+            return
+        fps = np.concatenate(buf)
+        fps.sort(kind="stable")
+        keys, shards, ns, pays = [], [], [], []
+        for key, part in directory.split_sorted(fps):
+            shard = int(directory.shards[key])
+            keys.append(key)
+            shards.append(shard)
+            ns.append(int(part.size))
+            pays.append(_pack_chunk(part, shard, fs - k))
+        yield pa.record_batch(
+            [pa.array(keys, pa.int32()), pa.array(shards, pa.int32()),
+             pa.array(ns, pa.int64()), pa.array(pays, pa.binary())],
+            names=["key", "shard", "n_fps", "payload"])
+
+    def apply_removals(key, rem_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        if filt_tbl.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int32()),
+                             "shard": pa.array([], pa.int32()),
+                             "n_fps": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.binary())})
+        shard = int(filt_tbl.column("shard")[0].as_py())
+        sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
+        if rem_tbl.num_rows:
+            lm = _local_mask(fs, k)
+            for p in rem_tbl.column("payload"):
+                h = _unpack_chunk(p.as_py(), shard, fs - k)
+                sk.filter.remove_hashes(h & lm)
+        blob = sketches.RsqfSketch(
+            Filter(sk.filter.qbits, sk.filter.rbits, None,
+                   sk.filter.fingerprints()), keep).to_blocks_bytes()
+        return pa.table({"key": pa.array([key[0].as_py()], pa.int32()),
+                         "shard": pa.array([shard], pa.int32()),
+                         "n_fps": pa.array([len(sk.filter)], pa.int64()),
+                         "payload": pa.array([blob], pa.binary())})
+
+    chunks = removals_df.select(spec_in.col).mapInArrow(
+        emit_removal_chunks, SPLIT_SCHEMA)
+    return (chunks.groupBy("key")
+            .cogroup(filter_df.groupBy("key"))
+            .applyInArrow(apply_removals, SPLIT_SCHEMA))
+
+
 def split_to_single(filter_df, spec: SketchSpec, n_shards: int) -> bytes:
     """Collapse a split filter table to one global blob (parity checks)."""
     k = shard_bits_for(n_shards)

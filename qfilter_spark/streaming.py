@@ -46,6 +46,8 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    key_type = stream_df.schema[key_col].dataType.simpleString()
+
     def fold(key, pdf_iter, state):
         if state.exists:
             blob, n_items = state.get
@@ -65,7 +67,7 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             .groupBy(key_col)
             .applyInPandasWithState(
                 fold,
-                outputStructType=f"{key_col} long, n_items long, sketch_len long",
+                outputStructType=f"{key_col} {key_type}, n_items long, sketch_len long",
                 stateStructType="blob binary, n_items long",
                 outputMode="Update",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -578,6 +578,65 @@ def q_streaming_sketch(spark, sf_dir):
                     len_matches=bool(len(sk.filter) == n))
 
 
+def q_streaming_keyed(spark, sf_dir):
+    """Per-key streaming sketches via ``applyInPandasWithState``
+    (north_rule: keyed streaming state), driven deterministically.
+
+    Events replay as a file-source stream (4 chunks, one per trigger);
+    Spark's state store holds one RSQF per event_type, updated every
+    trigger. The final cumulative (key, n_items) rows must equal the batch
+    group counts — the exact DuckDB oracle — and, since event_ids are
+    distinct, each key's sketch length must equal its item count.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .streaming import keyed_sketch_stream
+
+    ev = load(spark, sf_dir, "events")
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01),
+                      "hash_col", "h")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        os.makedirs(src)
+        schema = pa.schema([("event_type", pa.string()),
+                            ("event_id", pa.int64())])
+        tbl = pa.Table.from_pandas(
+            ev.orderBy("event_id").select("event_type", "event_id").toPandas(),
+            preserve_index=False).cast(schema)
+        step = (tbl.num_rows + 2) // 3
+        for i in range(3):
+            p = os.path.join(src, f"{i:02d}.parquet")
+            pq.write_table(tbl.slice(i * step, step), p)
+            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (spark.readStream.schema("event_type string, event_id long")
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("h", F.xxhash64(F.col("event_id").cast("long"))))
+        out = keyed_sketch_stream(stream, spec, key_col="event_type")
+        name = f"keyed_sketch_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = spark.sql(
+            f"SELECT event_type, max(n_items) AS n_items, "
+            f"max(sketch_len) AS sketch_len FROM {name} "
+            "GROUP BY event_type").collect()
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [(r["event_type"], int(r["n_items"]),
+          bool(r["sketch_len"] == r["n_items"])) for r in rows],
+        "event_type string, n_items long, len_matches boolean")
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Event-time windowed sketches with watermark-driven finalization,
     driven deterministically (north_rule: windowed/keyed streaming state).
@@ -620,8 +679,8 @@ def q_streaming_windowed(spark, sf_dir):
             sentinel = pa.table(
                 {"ts": pa.array([4102444800000000], pa.timestamp("us")),
                  "event_id": pa.array([-1], pa.int64())}).cast(schema)  # 2100-01-01
-            step = (tbl.num_rows + 3) // 4
-            chunks = [tbl.slice(i * step, step) for i in range(4)]
+            step = (tbl.num_rows + 2) // 3
+            chunks = [tbl.slice(i * step, step) for i in range(3)]
             chunks.append(sentinel)
             for i, c in enumerate(chunks):
                 p = os.path.join(src, f"{i:02d}.parquet")

@@ -60,6 +60,27 @@ def test_split_union_bit_equal_to_single(spark, skewed):
                           single.filter.fingerprints())
 
 
+def test_split_remove_then_probe(spark, skewed):
+    from qfilter_spark.dist.sharded import remove_sharded_split
+
+    df, spec, n_shards, n = skewed
+    filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
+                                                 max_fps_per_row=n // 6)
+    filt = filt.cache()
+    before = filt.groupBy().sum("n_fps").collect()[0][0]
+    # remove a quarter of the uniform keys (fingerprint-width collisions
+    # make exact-count asserts off by a handful; tolerances cover them)
+    uniform = spark.range(0, n // 2).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h"))
+    after = remove_sharded_split(filt, uniform, spec, directory, spec).cache()
+    removed = before - after.groupBy().sum("n_fps").collect()[0][0]
+    assert n // 2 - 20 <= removed <= n // 2, removed
+    stats = (probe_sharded_split(uniform, spec, after, directory, spec)
+             .groupBy().sum("n_probed", "n_contained").collect()[0])
+    assert int(stats[1]) <= 20  # removed fingerprints gone (collision slack)
+    filt.unpersist(); after.unpersist()
+
+
 def test_split_probe_zero_false_negatives(spark, skewed):
     df, spec, n_shards, n = skewed
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
