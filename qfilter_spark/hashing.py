@@ -202,9 +202,14 @@ def xxh64_str(s: str, seed: int = SPARK_SEED) -> int:
 
 
 def hash_obj(item, seed: int = SPARK_SEED) -> int:
-    """Hash a Python scalar the way the matching Spark column would hash.
+    """Hash a Python scalar (or composite) the way Spark columns would.
 
-    ints -> 8-byte LE lane (Spark long); str -> UTF-8 bytes; bytes -> bytes.
+    ints -> 8-byte LE lane (Spark long); str -> UTF-8 bytes; bytes ->
+    bytes. Tuples/lists chain element hashes the way
+    ``F.xxhash64(c1, c2, ...)`` chains columns (each element's hash seeds
+    the next lane) — the generic ``T: Hash`` analog for composite keys
+    (reference src/lib.rs:973, stable_hasher.rs:60-65; our family is
+    Spark-parity XXH64, a documented deviation — SURVEY.md §1.3).
     """
     if isinstance(item, bool):
         raise TypeError("hash bools explicitly as ints")
@@ -214,4 +219,11 @@ def hash_obj(item, seed: int = SPARK_SEED) -> int:
         return xxh64_str(item, seed)
     if isinstance(item, (bytes, bytearray)):
         return xxh64_bytes(bytes(item), seed)
+    if isinstance(item, (tuple, list)):
+        if not item:
+            raise TypeError("cannot hash an empty composite key")
+        acc = int(seed)
+        for part in item:
+            acc = hash_obj(part, acc)  # each hash seeds the next lane
+        return acc
     raise TypeError(f"unhashable item type for stable hashing: {type(item)}")

@@ -91,6 +91,20 @@ def test_string_hash_parity_with_jvm(spark):
     assert got == want
 
 
+def test_composite_key_hash_parity_with_jvm(spark):
+    """hash_obj over tuples == multi-column F.xxhash64 (T: Hash analog)."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.hashing import hash_obj
+
+    rows = [(7, "alpha", 123456789), (-1, "héllo ✓", 0)]
+    df = spark.createDataFrame(rows, "a long, s string, b long")
+    got = [r[0] for r in
+           df.select(F.xxhash64("a", "s", "b")).collect()]
+    want = [int(np.int64(np.uint64(hash_obj((a, s, b))))) for a, s, b in rows]
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # distributed build + probe + single-node parity (F4)
 # ---------------------------------------------------------------------------
