@@ -55,8 +55,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": W.q_text_quality,
         "token_stats": W.q_token_stats,
         "doc_fingerprint": W.q_doc_fingerprint,
+        "doc_fingerprint_winnow": W.q_doc_fingerprint_winnow,
         "ann_bruteforce": W.q_ann_bruteforce,
         "ann_lsh_recall": W.q_ann_lsh_recall,
+        "ann_ivf_recall": W.q_ann_ivf_recall,
         "multimodal_stats": W.q_multimodal_stats,
         # distributed machinery through the gate
         "topk_tokens": W.q_topk_tokens,
@@ -161,12 +163,17 @@ def oracle_sql() -> dict[str, str]:
         "token_stats":
             f"SELECT count(*) AS n_docs, CAST(sum({toks}) AS BIGINT) AS total_tokens, "
             f"CAST(max({toks}) AS BIGINT) AS max_tokens, "
+            f"CAST(sum({T.sql_bpe_token_count()}) AS BIGINT) AS total_bpe_tokens, "
             f"CAST(sum({T.sql_stopword_count()}) AS BIGINT) AS total_stopwords, "
             f"CAST(sum({T.sql_avg_word_len_millis()}) AS BIGINT) AS sum_awl_millis "
             "FROM documents",
         "doc_fingerprint":
             "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_fp "
             "FROM documents",
+        "doc_fingerprint_winnow":
+            f"SELECT count(*) AS n_docs, "
+            f"CAST(sum(greatest({toks} - 2, 0)) AS BIGINT) AS n_grams, "
+            "true AS bounds_ok, true AS jvm_matches_kernel FROM documents",
         "ann_bruteforce":
             "SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank FROM ("
             "  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,"
@@ -177,6 +184,8 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN embeddings e"
             ") WHERE rnk <= 10",
         "ann_lsh_recall":
+            "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+        "ann_ivf_recall":
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",

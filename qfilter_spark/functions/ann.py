@@ -155,23 +155,13 @@ def cosine_near_pairs(emb_df: DataFrame, threshold: float = 0.95,
     return pairs.mapInArrow(verify, "vec_a long, vec_b long")
 
 
-def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
-             k: int = 10, n_tables: int = 16, n_bits: int = 4,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: LSH bucket candidates, exact re-rank.
+def _exact_rerank(cand: DataFrame, emb_df: DataFrame,
+                  queries: list[tuple[int, list[float]]], k: int,
+                  id_col: str, emb_col: str) -> DataFrame:
+    """Exact cosine re-rank of (query_id, vec_id) candidates -> top-k."""
+    import pyarrow as pa
 
-    Returns (query_id, neighbor_id, rank) over the candidate set.
-    """
     spark = emb_df.sparkSession
-    dim = len(queries[0][1])
-    sigs = lsh_signatures(emb_df, n_tables, n_bits, dim, id_col, emb_col)
-    qdf = spark.createDataFrame([(int(i), [float(x) for x in v]) for i, v in queries],
-                                f"{id_col} long, {emb_col} array<float>")
-    qsigs = (lsh_signatures(qdf, n_tables, n_bits, dim, id_col, emb_col)
-             .withColumnRenamed("vec_id", "query_id"))
-    cand = (sigs.join(F.broadcast(qsigs), ["table", "key"])
-            .select("query_id", "vec_id").distinct())
-    # exact re-rank of candidates
     emb = emb_df.select(F.col(id_col).alias("vec_id"), emb_col)
     cand_emb = cand.join(emb, "vec_id")
 
@@ -179,8 +169,6 @@ def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
     order = np.argsort(qids)
     b = spark.sparkContext.broadcast((qids[order], qmat[order]))
-
-    import pyarrow as pa
 
     def rerank(batches):
         qs, qm = b.value
@@ -201,3 +189,104 @@ def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank"))
+
+
+def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
+             k: int = 10, n_tables: int = 16, n_bits: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: LSH bucket candidates, exact re-rank.
+
+    Returns (query_id, neighbor_id, rank) over the candidate set.
+    """
+    spark = emb_df.sparkSession
+    dim = len(queries[0][1])
+    sigs = lsh_signatures(emb_df, n_tables, n_bits, dim, id_col, emb_col)
+    qdf = spark.createDataFrame([(int(i), [float(x) for x in v]) for i, v in queries],
+                                f"{id_col} long, {emb_col} array<float>")
+    qsigs = (lsh_signatures(qdf, n_tables, n_bits, dim, id_col, emb_col)
+             .withColumnRenamed("vec_id", "query_id"))
+    cand = (sigs.join(F.broadcast(qsigs), ["table", "key"])
+            .select("query_id", "vec_id").distinct())
+    return _exact_rerank(cand, emb_df, queries, k, id_col, emb_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(emb_df: DataFrame, n_lists: int = 16, n_iters: int = 4,
+                  sample_cap: int = 4096, id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> np.ndarray:
+    """Spherical k-means coarse quantizer on a bounded deterministic sample.
+
+    The standard IVF training recipe: Lloyd iterations driver-side over at
+    most ``sample_cap`` vectors (a hash-selected, id-ordered sample), so
+    training cost is FIXED at any corpus scale; only assignment is
+    data-scale work, and that is distributed. Centroids are unit-norm
+    (spherical k-means == cosine objective). Fully seeded/deterministic.
+    """
+    from pyspark.sql import functions as SF
+
+    rows = (emb_df.select(id_col, emb_col)
+            .where(SF.pmod(SF.xxhash64(SF.col(id_col).cast("long")), SF.lit(4))
+                   == SF.lit(0))
+            .orderBy(id_col).limit(sample_cap).collect())
+    m = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(LSH_SEED)
+    cent = m[rng.choice(m.shape[0], min(n_lists, m.shape[0]), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for j in range(cent.shape[0]):
+            pts = m[assign == j]
+            if pts.shape[0]:
+                cent[j] = pts.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_assign(emb_df: DataFrame, centroids: np.ndarray,
+               id_col: str = "vec_id",
+               emb_col: str = "embedding") -> DataFrame:
+    """(vec_id, list_id): nearest-centroid assignment, one GEMM per batch."""
+    import pyarrow as pa
+
+    b = emb_df.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        cent = b.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _normalize(_emb_matrix(batch, emb_col))
+            lists = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+            yield pa.record_batch([pa.array(ids, pa.int64()),
+                                   pa.array(lists, pa.int32())],
+                                  names=["vec_id", "list_id"])
+
+    return emb_df.select(id_col, emb_col).mapInArrow(
+        assign, "vec_id long, list_id int")
+
+
+def ivf_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
+             k: int = 10, n_lists: int = 16, nprobe: int = 8,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists,
+    exact re-rank inside them.
+
+    Scale shape: assignment is an embarrassingly parallel scan; the
+    candidate fetch is an equi-join on list_id with the (tiny, broadcast)
+    query->list table; re-rank touches only ~nprobe/n_lists of the corpus.
+    """
+    spark = emb_df.sparkSession
+    cent = ivf_centroids(emb_df, n_lists=n_lists, id_col=id_col, emb_col=emb_col)
+    lists = ivf_assign(emb_df, cent, id_col, emb_col)
+    qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]
+    qlists = spark.createDataFrame(
+        [(int(q[0]), int(l)) for qi, q in enumerate(queries)
+         for l in probe[qi]],
+        "query_id long, list_id int")
+    cand = (lists.join(F.broadcast(qlists), "list_id")
+            .select("query_id", "vec_id").distinct())
+    return _exact_rerank(cand, emb_df, queries, k, id_col, emb_col)

@@ -25,6 +25,20 @@ def ws_token_count(c: Column) -> Column:
     return F.length(c) - F.length(F.replace(c, F.lit(" "), F.lit(""))) + F.lit(1)
 
 
+#: BPE-ish pre-tokenizer pattern (GPT-2-style approximation): letter runs,
+#: digit runs, or single non-alphanumeric symbols. Pure ASCII classes so the
+#: Java (Spark) and RE2 (DuckDB) regex engines agree exactly.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(c: Column) -> Column:
+    """BPE-ish sub-word token count via regexp_count (JVM, codegen).
+
+    SQL mirror: ``len(regexp_extract_all(text, pattern))``.
+    """
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
 def occurrences(c: Column, word: str) -> Column:
     """Non-overlapping occurrences of ``' word '`` in ``' '||text||' '``."""
     padded = F.concat(F.lit(" "), c, F.lit(" "))
@@ -73,6 +87,10 @@ def langid_pred(c: Column) -> Column:
 
 def sql_ws_token_count(col: str = "text") -> str:
     return f"(length({col}) - length(replace({col}, ' ', '')) + 1)"
+
+
+def sql_bpe_token_count(col: str = "text") -> str:
+    return f"CAST(len(regexp_extract_all({col}, '{BPE_TOKEN_PATTERN}')) AS BIGINT)"
 
 
 def sql_occurrences(word: str, col: str = "text") -> str:

@@ -473,6 +473,7 @@ def q_token_stats(spark, sf_dir):
     return docs.agg(F.count("*").alias("n_docs"),
                     F.sum(toks).alias("total_tokens"),
                     F.max(toks).alias("max_tokens"),
+                    F.sum(T.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
                     F.sum(T.stopword_count(F.col("text"))).alias("total_stopwords"),
                     F.sum(T.avg_word_len_millis(F.col("text"))).alias("sum_awl_millis"))
 
@@ -482,6 +483,65 @@ def q_doc_fingerprint(spark, sf_dir):
     return (docs.withColumn("fp", F.xxhash64("text"))
             .agg(F.count("*").alias("n_docs"),
                  F.countDistinct("fp").alias("n_distinct_fp")))
+
+
+def q_doc_fingerprint_winnow(spark, sf_dir, n: int = 3, w: int = 4):
+    """Winnowing document fingerprints (SIGMOD'03 rolling-hash scheme).
+
+    All fingerprint math runs as JVM expressions (functions/winnow.py);
+    the query additionally asserts, exactly and distributively:
+    - the JVM xxhash64 lambda-chain gram hashes are BIT-IDENTICAL to the
+      numpy n-gram kernel (count + XOR-fold compared across the two
+      independent implementations);
+    - winnow selection bounds hold per doc (1 <= |fps| <= g - w + 1 for
+      g >= w; selected values are a subset of the doc's gram hashes).
+    n_grams is mirrored exactly by the DuckDB oracle's token arithmetic.
+    """
+    import pyarrow as pa
+
+    from .functions import winnow
+    from .functions.ngrams import flat_from_arrow, ngram_hashes
+
+    docs = load(spark, sf_dir, "documents")
+    base = (docs.select("doc_id", winnow.token_hash_col("text").alias("tk"))
+            .withColumn("grams", winnow.gram_hash_col("tk", n))
+            .withColumn("winnowed", winnow.winnow_col("grams", w))).cache()
+
+    bounds_bad = (
+        ((F.size("grams") >= w)
+         & ((F.size("winnowed") < 1)
+            | (F.size("winnowed") > F.size("grams") - F.lit(w) + 1)))
+        | ((F.size("grams") > 0) & (F.size("grams") < w)
+           & (F.size("winnowed") != 1))
+        | (F.size(F.array_except("winnowed", "grams")) > 0))
+    jvm = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("grams")).alias("n_grams"),
+        F.expr("bit_xor(aggregate(grams, 0L, (a, x) -> a ^ x))").alias("xr"),
+        F.sum(bounds_bad.cast("long")).alias("n_bad")).collect()[0]
+
+    def kernel_stats(batches):
+        cnt, xr = 0, np.uint64(0)
+        for batch in batches:
+            flat, offsets = flat_from_arrow(batch.column("tk"))
+            g = ngram_hashes(flat, offsets, n)
+            cnt += int(g.size)
+            if g.size:
+                xr ^= np.bitwise_xor.reduce(g)
+        yield pa.record_batch([pa.array([cnt], pa.int64()),
+                               pa.array([int(np.int64(xr))], pa.int64())],
+                              names=["cnt", "xr"])
+
+    k = (base.select("tk").mapInArrow(kernel_stats, "cnt long, xr long")
+         .agg(F.sum("cnt").alias("cnt"), F.expr("bit_xor(xr)").alias("xr"))
+         .collect()[0])
+    base.unpersist()
+    parity = (int(jvm["n_grams"]) == int(k["cnt"])
+              and int(jvm["xr"] or 0) == int(k["xr"] or 0))
+    return _one_row(spark, n_docs=int(jvm["n_docs"]),
+                    n_grams=int(jvm["n_grams"]),
+                    bounds_ok=bool(jvm["n_bad"] == 0),
+                    jvm_matches_kernel=bool(parity))
 
 
 def q_topk_tokens(spark, sf_dir):
@@ -737,6 +797,23 @@ def q_ann_lsh_recall(spark, sf_dir):
               for r in ann.lsh_topk(emb, qs, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     return _one_row(spark, n_queries=10, recall_ok=bool(recall >= 0.5))
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    """IVF (inverted-file) ANN: coarse spherical-k-means quantizer, probe
+    nprobe of n_lists inverted lists, exact re-rank — the standard
+    coarse-quantizer scale path. Recall@10 vs the exact ranking must clear
+    the random-data expectation with margin (these embeddings are
+    near-uniform: expected recall ~= (1 + 9*nprobe/n_lists)/10 ~ 0.55 at
+    8/16; the top-1 self-hit is guaranteed)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = _queries_from(emb, 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(emb, qs, k=10).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann.ivf_topk(emb, qs, k=10, n_lists=16, nprobe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    return _one_row(spark, n_queries=10, recall_ok=bool(recall >= 0.35))
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
