@@ -184,22 +184,53 @@ def q_rsqf_fingerprint_size(spark, sf_dir):
     slice (the width-7 filter is capacity-bounded by construction, as in
     the reference test which uses capacity 1).
     """
+    import pyarrow as pa
+
+    widths = (7, 16, 24, 31, 49, 64)
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
     hs = np.array([r["h"] for r in
                    ev.orderBy("event_id").limit(50).select("h").collect()],
                   dtype=np.int64).view(np.uint64)
     base = spark.createDataFrame([(int(h),) for h in hs.view(np.int64)],
                                  "h long").repartition(4)
+
+    # ONE distributed pass builds a partial filter per (partition, width);
+    # one groupBy merges each width — 2 jobs instead of 6 tree merges
+    def build_all(batches):
+        per = {w: sketches.create("rsqf", capacity=1, fingerprint_bits=w)
+               for w in widths}
+        for batch in batches:
+            if batch.num_rows:
+                h = (batch.column("h").to_numpy(zero_copy_only=False)
+                     .astype(np.int64).view(np.uint64))
+                for sk in per.values():
+                    sk.update_hashes(h)
+        yield pa.record_batch(
+            [pa.array(list(widths), pa.int32()),
+             pa.array([per[w].to_bytes() for w in widths], pa.binary())],
+            names=["w", "payload"])
+
+    import pandas as pd
+
+    def merge_width(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc = None
+        for payload in pdf["payload"]:
+            sk = sketches.loads(bytes(payload))
+            acc = sk if acc is None else (acc.merge(sk) or acc)
+        return pd.DataFrame({"w": [int(key[0])], "payload": [acc.to_bytes()]})
+
+    merged = (base.mapInArrow(build_all, "w int, payload binary")
+              .groupBy("w").applyInPandas(merge_width, "w int, payload binary")
+              .collect())
     rows = []
-    for bits in (7, 16, 24, 31, 49, 64):
-        spec = SketchSpec("rsqf", dict(capacity=1, fingerprint_bits=bits),
-                          "hash_col", "h")
-        sk = sketches.loads(build_sketch(base, spec, fan_in=4))
+    for r in sorted(merged, key=lambda r: r["w"]):
+        bits = int(r["w"])
+        f = sketches.loads(bytes(r["payload"])).filter
         mask = np.uint64((1 << bits) - 1 if bits < 64 else 0xFFFFFFFFFFFFFFFF)
         expect = np.sort(hs & mask)
-        ok = (np.array_equal(sk.filter.fingerprints(), expect)
-              and sk.filter.fingerprint_size() == bits)
-        rows.append((bits, len(sk.filter), bool(ok)))
+        ok = (np.array_equal(f.fingerprints(), expect)
+              and f.fingerprint_size() == bits)
+        rows.append((bits, len(f), bool(ok)))
     return spark.createDataFrame(
         rows, "fp_bits long, n_fps long, roundtrip_ok boolean")
 
