@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..hashing import xxh64_u64_chain
+from ..hashing import xxh64_u64_chain, xxh64_u64_chain_sliding
 
 
 def flat_from_arrow(list_array) -> tuple[np.ndarray, np.ndarray]:
@@ -38,10 +38,7 @@ def ngram_hashes(flat: np.ndarray, offsets: np.ndarray, n: int) -> np.ndarray:
     if total < n:
         return np.empty(0, dtype=np.uint64)
     n_windows = total - n + 1
-    cols = [flat[k:n_windows + k].view(np.uint64) if flat.dtype == np.int64
-            else flat[k:n_windows + k].astype(np.uint64)
-            for k in range(n)]
-    hashes = xxh64_u64_chain(cols)
+    hashes = xxh64_u64_chain_sliding(flat, n)  # fused: one lane pass
     # keep windows that do not cross a document boundary
     lengths = np.diff(offsets)
     doc_of = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
@@ -72,10 +69,7 @@ def ngram_hashes_per_doc(flat: np.ndarray, offsets: np.ndarray, n: int
     if total < n:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
     n_windows = total - n + 1
-    cols = [flat[k:n_windows + k].view(np.uint64) if flat.dtype == np.int64
-            else flat[k:n_windows + k].astype(np.uint64)
-            for k in range(n)]
-    hashes = xxh64_u64_chain(cols)
+    hashes = xxh64_u64_chain_sliding(flat, n)  # fused: one lane pass
     lengths = np.diff(offsets)
     doc_of = np.repeat(np.arange(lengths.size, dtype=np.int64), lengths)
     valid = doc_of[:n_windows] == doc_of[n - 1:]
