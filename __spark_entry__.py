@@ -159,7 +159,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY 1",
         "text_quality":
             f"SELECT {T.sql_quality_bucket()} AS bucket, count(*) AS n_docs, "
-            f"CAST(sum({toks}) AS BIGINT) AS sum_tokens FROM documents GROUP BY 1",
+            f"CAST(sum({toks}) AS BIGINT) AS sum_tokens, "
+            f"CAST(sum({T.sql_punct_ratio_millis()}) AS BIGINT) AS sum_punct_millis "
+            "FROM documents GROUP BY 1",
         "token_stats":
             f"SELECT count(*) AS n_docs, CAST(sum({toks}) AS BIGINT) AS total_tokens, "
             f"CAST(max({toks}) AS BIGINT) AS max_tokens, "

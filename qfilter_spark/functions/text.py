@@ -59,6 +59,21 @@ def stopword_ratio_millis(c: Column) -> Column:
     return F.floor(F.lit(1000.0) * stopword_count(c) / ws_token_count(c)).cast("long")
 
 
+def punct_count(c: Column) -> Column:
+    """Number of ASCII punctuation characters (regex class, JVM).
+
+    SQL mirror shares the exact pattern; both engines' regex dialects
+    agree on this ASCII class.
+    """
+    return F.regexp_count(c, F.lit(r"[.,;:!?'\"()\[\]-]")).cast("long")
+
+
+def punct_ratio_millis(c: Column) -> Column:
+    """floor(1000 * punctuation chars / total chars) as an exact integer."""
+    return F.floor(F.lit(1000.0) * punct_count(c)
+                   / F.greatest(F.length(c), F.lit(1))).cast("long")
+
+
 def avg_word_len_millis(c: Column) -> Column:
     """floor(1000 * non-space chars / tokens)."""
     nonspace = F.length(F.replace(c, F.lit(" "), F.lit("")))
@@ -106,6 +121,16 @@ def sql_stopword_count(col: str = "text") -> str:
 def sql_stopword_ratio_millis(col: str = "text") -> str:
     return (f"CAST(floor(1000.0 * {sql_stopword_count(col)} / "
             f"{sql_ws_token_count(col)}) AS BIGINT)")
+
+
+def sql_punct_count(col: str = "text") -> str:
+    return (f"CAST(len(regexp_extract_all({col}, "
+            f"'[.,;:!?''\"()\\[\\]-]')) AS BIGINT)")
+
+
+def sql_punct_ratio_millis(col: str = "text") -> str:
+    return (f"CAST(floor(1000.0 * {sql_punct_count(col)} / "
+            f"greatest(length({col}), 1)) AS BIGINT)")
 
 
 def sql_avg_word_len_millis(col: str = "text") -> str:

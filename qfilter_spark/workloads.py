@@ -495,7 +495,9 @@ def q_text_quality(spark, sf_dir):
             .withColumn("toks", T.ws_token_count(F.col("text")))
             .groupBy("bucket")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("toks").alias("sum_tokens")))
+                 F.sum("toks").alias("sum_tokens"),
+                 F.sum(T.punct_ratio_millis(F.col("text")))
+                 .alias("sum_punct_millis")))
 
 
 def q_token_stats(spark, sf_dir):
