@@ -53,7 +53,7 @@ def _minhash_arrow(seeds: np.ndarray):
     """mapInArrow kernel: (doc_id, shingle_hashes) -> + signature, bands, simhash."""
     import pyarrow as pa
 
-    from ..hashing import xxh64_u64, xxh64_u64_chain
+    from ..hashing import xxh64_u64_chain, xxh64_u64_multi_seed
 
     def run(batches):
         for batch in batches:
@@ -68,12 +68,13 @@ def _minhash_arrow(seeds: np.ndarray):
             starts = offsets[:-1]
             nonempty = offsets[1:] > offsets[:-1]
 
-            # MinHash: per-seed rehash, segment-min per doc
+            # MinHash: all permutations share one lane pass, segment-min per doc
             sig = np.full((n_docs, seeds.size), np.uint64(0xFFFFFFFFFFFFFFFF))
             if flat.size:
-                for j, s in enumerate(seeds):
-                    h = xxh64_u64(flat, np.uint64(s))
-                    mins = np.minimum.reduceat(h, np.minimum(starts, flat.size - 1))
+                hs = xxh64_u64_multi_seed(flat, seeds)  # (n_perm, n_shingles)
+                red_at = np.minimum(starts, flat.size - 1)
+                for j in range(seeds.size):
+                    mins = np.minimum.reduceat(hs[j], red_at)
                     sig[nonempty, j] = mins[nonempty]
 
             # LSH bands: chain-hash each band's rows (+ band index as salt)

@@ -180,6 +180,27 @@ def xxh64_u64_chain_sliding(flat: np.ndarray, n: int,
     return out
 
 
+def xxh64_u64_multi_seed(values: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """``[xxh64_u64(values, s) for s in seeds]`` stacked as (k, n) — with
+    the seed-independent lane mix computed ONCE for all k seeds.
+
+    This is the MinHash inner loop (k permutations of the same hash
+    stream); lane reuse saves the v*P2/rotl31/*P1 work k-1 times.
+    Bit-identical to the per-seed calls.
+    """
+    v = np.asarray(values)
+    if v.dtype != np.uint64:
+        v = v.astype(np.int64).view(np.uint64)
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    out = np.empty((seeds.size, v.size), dtype=np.uint64)
+    for s in range(0, v.size, _CHUNK):
+        e = min(s + _CHUNK, v.size)
+        lanes = _xxh64_lane_block(v[s:e])
+        for i, sd in enumerate(seeds):
+            out[i, s:e] = _xxh64_combine_block(lanes, sd)
+    return out
+
+
 def xxh64_i64(values: np.ndarray, seed=SPARK_SEED) -> np.ndarray:
     """Signed int64 view convenience (Spark longs are signed)."""
     return xxh64_u64(np.asarray(values).astype(np.int64).view(np.uint64), seed)
