@@ -677,6 +677,45 @@ def split_to_single(filter_df, spec: SketchSpec, n_shards: int) -> bytes:
     return sketches.RsqfSketch(Filter(qbits, rbits, None, fps), keep).to_bytes()
 
 
+def shrink_sharded(filter_df):
+    """Distributed shrink_to_fit: re-fit every shard's local qbits to its
+    content (reference shrink semantics src/lib.rs:1311-1328, applied
+    per shard row).
+
+    The maintenance pass after heavy removes: each row re-encodes at the
+    smallest block count its load factor allows (repeatedly, since the
+    single-node op shrinks one step per call), reclaiming at-rest bytes.
+    Pure per-row map — no shuffle; fingerprints and answers unchanged.
+    """
+    import pyarrow as pa
+
+    def shrink_rows(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            cols = {n: [] for n in batch.schema.names}
+            payload_idx = batch.schema.get_field_index("payload")
+            for i in range(batch.num_rows):
+                sk = sketches.loads(batch.column(payload_idx)[i].as_py())
+                while True:
+                    q0 = sk.filter.qbits
+                    sk.filter.shrink_to_fit()
+                    if sk.filter.qbits == q0:
+                        break
+                for j, name in enumerate(batch.schema.names):
+                    cols[name].append(sk.to_blocks_bytes() if j == payload_idx
+                                      else batch.column(j)[i].as_py())
+            yield pa.record_batch(
+                [pa.array(cols[f.name],
+                          pa.binary() if f.name == "payload" else f.type)
+                 for f in batch.schema],
+                names=list(batch.schema.names))
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in filter_df.schema.fields)
+    return filter_df.mapInArrow(shrink_rows, schema)
+
+
 def sharded_to_single(filter_df, spec: SketchSpec, n_shards: int = 64) -> bytes:
     """Collapse the shard table to one global blob (parity tests / export).
 

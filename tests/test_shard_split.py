@@ -81,6 +81,38 @@ def test_split_remove_then_probe(spark, skewed):
     filt.unpersist(); after.unpersist()
 
 
+def test_shrink_sharded_reclaims_bytes_keeps_answers(spark, skewed):
+    from qfilter_spark import sketches as SK
+    from qfilter_spark.dist.sharded import (build_sharded_filter,
+                                            probe_sharded, remove_sharded,
+                                            shrink_sharded)
+
+    df, spec, n_shards, n = skewed
+    filt = build_sharded_filter(df, spec, n_shards=n_shards).cache()
+    # drain 75% of the uniform keys, then shrink every shard
+    rm = spark.range(0, (3 * n) // 8).select(
+        F.xxhash64(F.col("id").cast("long")).alias("h"))
+    after = remove_sharded(filt, rm, "h", n_shards, spec).cache()
+    shrunk = shrink_sharded(after).cache()
+    rows_b = {r["shard"]: r for r in after.collect()}
+    rows_s = {r["shard"]: r for r in shrunk.collect()}
+    assert rows_s.keys() == rows_b.keys()
+    bytes_before = sum(len(r["payload"]) for r in rows_b.values())
+    bytes_after = sum(len(r["payload"]) for r in rows_s.values())
+    assert bytes_after < bytes_before  # blocks reclaimed somewhere
+    for s in rows_b:
+        fb = SK.loads(bytes(rows_b[s]["payload"])).filter
+        fs = SK.loads(bytes(rows_s[s]["payload"])).filter
+        assert np.array_equal(fb.fingerprints(), fs.fingerprints())
+        assert fs.fingerprint_size() == fb.fingerprint_size()
+    # remaining keys still all found through the shrunk table
+    keep = df.join(rm, "h", "left_anti")
+    stats = (probe_sharded(keep, "h", shrunk, n_shards, spec)
+             .groupBy().sum("n_probed", "n_contained").collect()[0])
+    assert int(stats[0]) == int(stats[1])
+    filt.unpersist(); after.unpersist(); shrunk.unpersist()
+
+
 def test_split_probe_zero_false_negatives(spark, skewed):
     df, spec, n_shards, n = skewed
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
