@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsqf_serde_roundtrip": W.q_rsqf_serde_roundtrip,
         "rsqf_reference_serde": W.q_rsqf_reference_serde,
         "rsqf_sharded": W.q_rsqf_sharded,
+        "rsqf_sharded_insert": W.q_rsqf_sharded_insert,
         "rsqf_sharded_skew": W.q_rsqf_sharded_skew,
         "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
         # sibling sketches (north_rule)
@@ -120,6 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "rsqf_sharded":
             "SELECT count(*) AS n_probed, count(*) AS n_contained, "
             "true AS sharded_equals_single FROM lineitem",
+        "rsqf_sharded_insert":
+            "SELECT count(*) AS n_probed, count(*) AS n_contained, "
+            "true AS incremental_equals_rebuild FROM lineitem",
         "rsqf_sharded_skew":
             "SELECT 2 * count(*) AS n_probed, 2 * count(*) AS n_contained, "
             "true AS hot_shard_split, true AS rows_bounded, "

@@ -289,6 +289,54 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
             .applyInArrow(probe_group, "shard int, n_probed long, n_contained long"))
 
 
+def insert_sharded(filter_df, new_df, spec_in: SketchSpec, n_shards: int,
+                   spec: SketchSpec):
+    """Incremental insert into an EXISTING sharded filter table.
+
+    The daily-ingest operation: new rows are extracted with the same kernel
+    as the build, shuffled as sorted per-(task, shard) chunks, and merged
+    into each shard's blob via a co-partitioned group join — identical
+    plan shape to the build's merge round, so the result is bit-equal to
+    rebuilding from the union of old and new data (canonical-form merge).
+    Shards absent from the table are created (a new prefix range appearing
+    in fresh data). A hot shard grows its local qbits exactly like the
+    build does.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    k = shard_bits_for(n_shards)
+    qbits, rbits, fs = _fp_meta(spec)
+    keep = getattr(spec.make(), "keep_duplicates", True)
+
+    chunks = _emit_chunk_rows(new_df, spec_in, n_shards, fs,
+                              max_buffer=16_000_000, with_samples=False)
+
+    # old blobs hold SHARD-LOCAL fingerprints while new chunks arrive in
+    # global coordinates: lift old to global, merge, re-encode shard-local
+    def merge_in(key, new_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        shard = int(key[0].as_py())
+        base = np.uint64(shard) << np.uint64(fs - k)
+        runs = [_unpack_chunk(p.as_py(), shard, fs - k)
+                for p in new_tbl.column("payload")]
+        if filt_tbl.num_rows:
+            old = sketches.loads(filt_tbl.column("payload")[0].as_py())
+            runs.append(old.filter.fingerprints() + base)
+        fps = np.concatenate(runs) if runs else np.empty(0, dtype=np.uint64)
+        fps.sort(kind="stable")
+        if not keep:
+            fps = np.unique(fps)
+        blob = _shard_blob(fps, shard, qbits - k, rbits, keep)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
+                         "n_fps": pa.array([int(fps.size)], pa.int64()),
+                         "payload": pa.array([blob], pa.binary())})
+
+    return (chunks.groupBy("shard")
+            .cogroup(filter_df.groupBy("shard"))
+            .applyInArrow(merge_in, SHARDED_SCHEMA))
+
+
 def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
                    spec: SketchSpec):
     """Distributed remove: retractions shuffle to their fingerprint shard.

@@ -315,6 +315,35 @@ def q_rsqf_sharded(spark, sf_dir):
                     sharded_equals_single=identical)
 
 
+def q_rsqf_sharded_insert(spark, sf_dir):
+    """Incremental ingest into an existing sharded filter table: inserting
+    day-2 data into day-1's table is BIT-EQUAL to rebuilding from the
+    union (canonical-form merge), and every key from both days probes as
+    contained. The daily-append operation at warehouse scale."""
+    from .dist.sharded import (build_sharded_filter, insert_sharded,
+                               probe_sharded, sharded_to_single)
+
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey")
+    n = table_rows(sf_dir, "lineitem")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01),
+                      "hash_col", "h")
+    n_shards = 16
+    day1 = li.where("l_orderkey % 2 = 0")
+    day2 = li.where("l_orderkey % 2 != 0")
+    updated = insert_sharded(build_sharded_filter(day1, spec, n_shards),
+                             day2, spec, n_shards, spec).cache()
+    rebuilt = build_sharded_filter(li, spec, n_shards=n_shards)
+    a = sketches.loads(sharded_to_single(updated, spec, n_shards))
+    b = sketches.loads(sharded_to_single(rebuilt, spec, n_shards))
+    identical = bool(np.array_equal(a.filter.fingerprints(),
+                                    b.filter.fingerprints()))
+    stats = (probe_sharded(li, "h", updated, n_shards, spec)
+             .groupBy().sum("n_probed", "n_contained").collect()[0])
+    updated.unpersist()
+    return _one_row(spark, n_probed=int(stats[0]), n_contained=int(stats[1]),
+                    incremental_equals_rebuild=identical)
+
+
 def q_rsqf_sharded_skew(spark, sf_dir):
     """Hot-shard splitting under adversarial fingerprint-prefix skew.
 
