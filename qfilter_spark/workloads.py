@@ -332,9 +332,8 @@ def q_rsqf_sharded_insert(spark, sf_dir):
     day2 = li.where("l_orderkey % 2 != 0")
     updated = insert_sharded(build_sharded_filter(day1, spec, n_shards),
                              day2, spec, n_shards, spec).cache()
-    rebuilt = build_sharded_filter(li, spec, n_shards=n_shards)
     a = sketches.loads(sharded_to_single(updated, spec, n_shards))
-    b = sketches.loads(sharded_to_single(rebuilt, spec, n_shards))
+    b = sketches.loads(build_sketch(li, spec, fan_in=8))  # one-shot rebuild
     identical = bool(np.array_equal(a.filter.fingerprints(),
                                     b.filter.fingerprints()))
     stats = (probe_sharded(li, "h", updated, n_shards, spec)
