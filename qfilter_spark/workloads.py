@@ -58,6 +58,26 @@ def _hashed(df: DataFrame, col: str, out: str = "h") -> DataFrame:
     return df.withColumn(out, F.xxhash64(F.col(col).cast("long")))
 
 
+class _few_shuffle_partitions:
+    """Temporarily cap spark.sql.shuffle.partitions for a streaming query.
+
+    A Structured Streaming checkpoint fixes its STATE partition count from
+    this setting at first start; a 200-partition default means 200 state
+    tasks per trigger for a toy stream. Gate/bench streams set a small
+    count for their own (fresh) checkpoints and restore the session value.
+    """
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
     names = ", ".join(
         f"{k} {'boolean' if isinstance(v, bool) else 'long' if isinstance(v, (int, np.integer)) else 'string'}"
@@ -740,13 +760,14 @@ def q_streaming_keyed(spark, sf_dir):
                   .withColumn("h", F.xxhash64(F.col("event_id").cast("long"))))
         out = keyed_sketch_stream(stream, spec, key_col="event_type")
         name = f"keyed_sketch_{uuid.uuid4().hex[:8]}"
-        q = (out.writeStream.format("memory").queryName(name)
-             .outputMode("update")
-             .option("checkpointLocation", ckpt).start())
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with _few_shuffle_partitions(spark):
+            q = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         rows = spark.sql(
             f"SELECT event_type, max(n_items) AS n_items, "
             f"max(sketch_len) AS sketch_len FROM {name} "
@@ -814,13 +835,14 @@ def q_streaming_windowed(spark, sf_dir):
                                          window_secs=86_400,
                                          watermark_delay="1 second")
             name = f"win_sketch_{tag}_{uuid.uuid4().hex[:8]}"
-            q = (out.writeStream.format("memory").queryName(name)
-                 .outputMode("update")
-                 .option("checkpointLocation", ckpt).start())
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
+            with _few_shuffle_partitions(spark):
+                q = (out.writeStream.format("memory").queryName(name)
+                     .outputMode("update")
+                     .option("checkpointLocation", ckpt).start())
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
             rows = spark.sql(
                 f"SELECT win_start, n_items, sketch_len FROM {name} "
                 "WHERE final ORDER BY win_start").collect()
