@@ -192,8 +192,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     least one rare one is near-certain on real corpora. Step 4's self-join
     is bounded by near-dup cluster sizes (only candidate docs participate).
     """
-    from pyspark import StorageLevel
-
     t = int(threshold_millis)
     sh = with_shingles(df.select(id_col, text_col), text_col, n)
     hashed = with_shingle_hashes(sh).select(
@@ -201,13 +199,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col("shingle_hashes").alias("hs_arr"))
     ex = hashed.select("doc_id", F.explode("hs_arr").alias("hs"))
     dfreq = ex.groupBy("hs").agg(F.count("*").alias("freq"))
-    # annotate every exploded row with its corpus frequency ONCE; both sides
-    # of this join shuffle ex by hs, so Catalyst reuses one exchange and the
-    # shingling scan runs a single time. ex_f then feeds every consumer
-    # (rare pairs, per-doc stats, hot pairs) from a spill-safe cache — at
-    # warehouse scale this is the intermediate you'd checkpoint to a table.
+    # annotate every exploded row with its corpus frequency ONCE, then cache
+    # it hash-partitioned by hs at an EXPLICIT partition count: a bare
+    # .persist() would pin the cache at the session's raw shuffle partition
+    # count (200 default => 200 tasks for every downstream stage, AQE can't
+    # coalesce cached plans), while the explicit hs-partitioning also feeds
+    # the rare self-join co-partitioned — no re-shuffle of either side. At
+    # warehouse scale this is the intermediate you'd checkpoint to a
+    # bucketed table.
+    from pyspark import StorageLevel
+
     rare = F.col("freq") <= max_df
-    ex_f = ex.join(dfreq, "hs").persist(StorageLevel.MEMORY_AND_DISK)
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    ex_f = (ex.join(dfreq, "hs").repartition(n_parts, "hs")
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
     ex_rare = ex_f.where(rare).select("doc_id", "hs")
     pairs_rare = (ex_rare.alias("a").join(ex_rare.alias("b"), "hs")
