@@ -163,12 +163,18 @@ class Filter:
         hi = np.searchsorted(self._fps, fp, side="right")
         return int(hi - lo)
 
+    #: probe block size — keeps every temporary L2-resident; this host's
+    #: parallel first-touch of fresh large pages is pathologically slow
+    _PROBE_CHUNK = 65536
+
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership for a uint64 hash column.
 
-        Large probe batches are sorted first: binary searches over a big
-        table are cache-miss-bound for random probe order, ~5x slower than
-        probing in sorted order (locality across successive searches).
+        Large probe batches are sorted first (binary searches over a big
+        table are cache-miss-bound in random order, ~5x slower) and then
+        processed in cache-resident chunks: the straight-line 8M-probe
+        pipeline spends most of its time page-faulting five fresh 64 MB
+        temporaries; chunking the same ops is ~4x.
         """
         fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
         n = self._fps.size
@@ -176,11 +182,17 @@ class Filter:
             return np.zeros(fps.size, dtype=bool)
         if fps.size > 4096:
             order = np.argsort(fps)
-            qs = fps[order]
-            lo = np.searchsorted(self._fps, qs, side="left")
-            hit = (lo < n) & (self._fps[np.minimum(lo, n - 1)] == qs)
             out = np.empty(fps.size, dtype=bool)
-            out[order] = hit
+            ch = self._PROBE_CHUNK
+            for s in range(0, fps.size, ch):
+                idx = order[s:s + ch]
+                qs = fps[idx]
+                lo = np.searchsorted(self._fps, qs, side="left")
+                valid = lo < n
+                np.minimum(lo, n - 1, out=lo)
+                hit = self._fps[lo] == qs
+                hit &= valid
+                out[idx] = hit
             return out
         lo = np.searchsorted(self._fps, fps, side="left")
         return (lo < n) & (self._fps[np.minimum(lo, n - 1)] == fps)
@@ -189,11 +201,14 @@ class Filter:
         fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
         if fps.size > 4096:
             order = np.argsort(fps)
-            qs = fps[order]
-            lo = np.searchsorted(self._fps, qs, side="left")
-            hi = np.searchsorted(self._fps, qs, side="right")
             out = np.empty(fps.size, dtype=np.int64)
-            out[order] = hi - lo
+            ch = self._PROBE_CHUNK
+            for s in range(0, fps.size, ch):
+                idx = order[s:s + ch]
+                qs = fps[idx]
+                lo = np.searchsorted(self._fps, qs, side="left")
+                hi = np.searchsorted(self._fps, qs, side="right")
+                out[idx] = hi - lo
             return out
         lo = np.searchsorted(self._fps, fps, side="left")
         hi = np.searchsorted(self._fps, fps, side="right")
