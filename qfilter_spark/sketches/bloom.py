@@ -61,11 +61,16 @@ class BloomFilter:
         self.n_added += int(np.asarray(hashes).size)
 
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
-        pos = self._bit_positions(hashes)
-        word_idx = (pos >> np.uint64(6)).astype(np.int64)
-        bits = np.uint64(1) << (pos & np.uint64(63))
-        hit = (self.words[word_idx] & bits) != 0
-        return hit.all(axis=1)
+        h = np.asarray(hashes)
+        out = np.empty(h.size, dtype=bool)
+        ch = 65536  # keep the (chunk, k) position matrices cache-resident
+        for s in range(0, h.size, ch):
+            pos = self._bit_positions(h[s:s + ch])
+            word_idx = (pos >> np.uint64(6)).astype(np.int64)
+            bits = np.uint64(1) << (pos & np.uint64(63))
+            hit = (self.words[word_idx] & bits) != 0
+            out[s:s + ch] = hit.all(axis=1)
+        return out
 
     def merge(self, other: "BloomFilter") -> None:
         if (self.m_bits, self.k) != (other.m_bits, other.k):
