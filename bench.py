@@ -202,14 +202,34 @@ def scaling_worker(cores: int, corpus_path: str) -> None:
     print(json.dumps(h))
 
 
+def _idlest_cpus(n: int, sample_secs: float = 0.5) -> list[int]:
+    """The n CPUs with the most idle time over a short window (per-CPU
+    /proc/stat deltas). Host steal is not uniform across vCPUs; pinning
+    the scaling runs to the currently-quietest cores removes one source
+    of measurement noise without changing what is measured."""
+    def snap():
+        out = {}
+        for line in open("/proc/stat"):
+            if line.startswith("cpu") and line[3].isdigit():
+                parts = line.split()
+                out[int(parts[0][3:])] = int(parts[4])  # idle jiffies
+        return out
+    a = snap()
+    time.sleep(sample_secs)
+    b = snap()
+    idle = sorted(b, key=lambda c: b[c] - a[c], reverse=True)
+    return sorted(idle[:n])
+
+
 def _run_pinned(cores: int, corpus_path: str) -> dict:
     """Run one headline job with the WHOLE process tree pinned to `cores`
     CPUs via taskset (affinity is inherited by the JVM and python workers),
     so local[N] really means N cores — a bare local[N] still lets the JVM
     and the Python worker overlap on extra cores, which inflates the
-    small-N baseline and understates scaling."""
+    small-N baseline and understates scaling. Pins to the currently
+    idlest CPUs (see _idlest_cpus)."""
     import subprocess
-    cpu_list = ",".join(str(c) for c in range(cores))
+    cpu_list = ",".join(str(c) for c in _idlest_cpus(cores))
     cmd = ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
            "--scaling-worker", str(cores), corpus_path]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
