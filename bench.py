@@ -104,7 +104,7 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def headline_job(spark, corpus_path: str, fp_rate: float = 0.01,
-                 n_shards: int = 64):
+                 n_shards: int | None = None):
     """Build a range-sharded RSQF over token 3-grams, probe present+absent.
 
     The filter lives as a distributed parquet-table of fingerprint-range
@@ -125,6 +125,12 @@ def headline_job(spark, corpus_path: str, fp_rate: float = 0.01,
                  F.sum(F.greatest(F.col("n_tok") - F.lit(2), F.lit(0)))) \
         .collect()[0]  # one pass for both totals
     total_tokens, total_ngrams = int(row[0]), int(row[1])
+
+    if n_shards is None:
+        # size the shard table to the corpus: small corpora pay pure
+        # group-shuffle overhead for 64 near-empty shards; big ones want
+        # the full fan-out (at 10^12 keys the caller sizes explicitly)
+        n_shards = 16 if total_ngrams < 16_000_000 else 64
 
     spec = SketchSpec("rsqf", dict(capacity=int(total_ngrams * 1.05) + 64,
                                    fp_rate=fp_rate),
