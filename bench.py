@@ -325,19 +325,24 @@ def main():
         best_ratio = thr[n_hi] / thr[n_lo]
         host_speedup = (statistics.median(host[n_hi])
                         / statistics.median(host[n_lo]))
+        # superlinear "speedup" is physically impossible at a true 4x
+        # resource ratio: it means the 1-core baseline never saw a clean
+        # window (all its reps were steal-degraded). Cap the reported
+        # efficiency at 1.0 and keep the uncapped value for transparency.
         result["scaling"] = {
             "cores_n": n_lo, "cores_4n": n_hi,
             "tokens_per_sec_m_n": round(thr[n_lo], 3),
             "tokens_per_sec_m_4n": round(thr[n_hi], 3),
             "samples_n": [round(v, 3) for v in thr_samples[n_lo]],
             "samples_4n": [round(v, 3) for v in thr_samples[n_hi]],
-            "spark_speedup": round(best_ratio, 3),
-            "efficiency_raw": round(best_ratio / 4, 3),
+            "spark_speedup": round(min(best_ratio, 4.0), 3),
+            "spark_speedup_uncapped": round(best_ratio, 3),
+            "efficiency_raw": round(min(best_ratio, 4.0) / 4, 3),
             "pair_ratios": [round(r, 3) for r in pair_ratios],
             "efficiency_median_pairs": round(
                 statistics.median(pair_ratios) / 4, 3),
             "host_achievable_speedup": round(host_speedup, 3),
-            "efficiency_vs_host": round(best_ratio / host_speedup, 3),
+            "efficiency_vs_host": round(min(best_ratio, 4.0) / host_speedup, 3),
             "note": "best-of-k per side over alternating taskset-pinned "
                     "N/4N reps; host steal is strictly subtractive, so "
                     "per-side maxima estimate unstolen capacity and their "
