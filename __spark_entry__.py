@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsqf_sharded": W.q_rsqf_sharded,
         "rsqf_sharded_insert": W.q_rsqf_sharded_insert,
         "rsqf_sharded_skew": W.q_rsqf_sharded_skew,
+        "rsqf_split_remove_shrink": W.q_rsqf_split_remove_shrink,
         "ngram_sketch_tokens": W.q_ngram_sketch_tokens,
         # sibling sketches (north_rule)
         "hll_distinct": W.q_hll_distinct,
@@ -88,6 +89,17 @@ WHERE CAST(floor(1000.0 * len(list_intersect(a.s, b.s))
 """
 
 
+def _planted_emb_values_sql() -> str:
+    """VALUES rows mirroring workloads.planted_near_dup_vectors exactly
+    (float32-exact literals), so the DuckDB oracle sees the same planted
+    near-dup vectors as the Spark query."""
+    rows = []
+    for vid, vec in W.planted_near_dup_vectors():
+        lit = "[" + ", ".join(repr(x) for x in vec) + "]::FLOAT[]"
+        rows.append(f"(CAST({vid} AS BIGINT), {lit})")
+    return ", ".join(rows)
+
+
 def oracle_sql() -> dict[str, str]:
     toks = T.sql_ws_token_count()
     return {
@@ -101,7 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "rsqf_merge_invariance":
             "SELECT count(*) AS n_fps, true AS identical FROM lineitem",
         "rsqf_growth":
-            "SELECT count(*) AS len_after, count(*) AS n_contained FROM events",
+            "SELECT count(*) AS len_after, count(*) AS n_contained, "
+            "true AS cap_ok, true AS clear_ok FROM events",
         "rsqf_remove":
             "SELECT count(*) FILTER (WHERE event_id % 3 <> 0) AS len_after, "
             "count(*) FILTER (WHERE event_id % 3 <> 0) AS n_remaining_contained "
@@ -128,6 +141,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 2 * count(*) AS n_probed, 2 * count(*) AS n_contained, "
             "true AS hot_shard_split, true AS rows_bounded, "
             "true AS split_equals_single FROM events",
+        "rsqf_split_remove_shrink":
+            "SELECT count(*) FILTER (WHERE event_id % 3 <> 0) AS len_after, "
+            "count(*) FILTER (WHERE event_id % 3 <> 0) AS n_remaining_contained, "
+            "true AS split_remove_equals_sharded, "
+            "true AS shrink_reclaimed_bytes FROM events",
         "ngram_sketch_tokens":
             f"SELECT CAST(sum(greatest({toks} - 2, 0)) AS BIGINT) AS n_ngrams, "
             "true AS matches_exact FROM documents",
@@ -155,8 +173,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash":
             f"SELECT doc_a, doc_b FROM ({_JACCARD_SQL})",
         "dedup_embedding_cosine":
+            "WITH emb AS (SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT * FROM (VALUES "
+            + _planted_emb_values_sql()
+            + ") t(vec_id, embedding)) "
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95",
         "langid":
             f"SELECT {T.sql_langid_pred()} AS lang_pred, count(*) AS n_docs "

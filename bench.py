@@ -52,6 +52,7 @@ def make_session(cores: int):
             # this sandbox's page-fault throughput saturates under parallel
             # first-touch of large fresh allocations
             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+            .config("spark.sql.session.timeZone", "UTC")
             .getOrCreate())
 
 

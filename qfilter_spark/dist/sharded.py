@@ -436,25 +436,35 @@ def plan_directory(sizes_samples: list, n_shards: int, fs: int,
     """Plan split points from per-chunk (shard, n_fps, sample) metadata.
 
     Shards with more fingerprints than ``max_fps_per_row`` are split into
-    ceil(n/max) ranges at quantiles of the pooled chunk samples — the same
-    estimator Spark's RangePartitioner uses. Pure driver-side metadata.
+    ceil(n/max) ranges at WEIGHTED quantiles of the pooled chunk samples:
+    each chunk's samples carry weight n_fps/len(samples), so a small final
+    flush (or uneven task partitions) cannot skew the cut points — the same
+    weighted-sample estimator Spark's RangePartitioner uses. Pure
+    driver-side metadata.
     """
     k = shard_bits_for(n_shards)
     totals = np.zeros(n_shards, dtype=np.int64)
-    samples: list[list[np.ndarray]] = [[] for _ in range(n_shards)]
+    samples: list[list[tuple[np.ndarray, int]]] = [[] for _ in range(n_shards)]
     for shard, n, smp in sizes_samples:
         totals[shard] += n
         if smp is not None and len(smp):
-            samples[shard].append(np.frombuffer(smp, dtype=np.uint64))
+            samples[shard].append(
+                (np.frombuffer(smp, dtype=np.uint64), int(n)))
     starts: list[int] = []
     for s in range(n_shards):
         base = s << (fs - k)
         starts.append(base)
         n_rows = -(-int(totals[s]) // max_fps_per_row) if totals[s] else 1
         if n_rows > 1 and samples[s]:
-            pool = np.sort(np.concatenate(samples[s]))
-            qs = (np.arange(1, n_rows) * pool.size) // n_rows
-            cuts = np.unique(pool[qs])
+            vals = np.concatenate([a for a, _ in samples[s]])
+            wts = np.concatenate([np.full(a.size, n / a.size)
+                                  for a, n in samples[s]])
+            order = np.argsort(vals, kind="stable")
+            vals, cw = vals[order], np.cumsum(wts[order])
+            targets = np.arange(1, n_rows) * (cw[-1] / n_rows)
+            idx = np.minimum(np.searchsorted(cw, targets, side="left"),
+                             vals.size - 1)
+            cuts = np.unique(vals[idx])
             starts.extend(int(c) for c in cuts if int(c) > base)
     return ShardDirectory(np.array(sorted(set(starts)), dtype=np.uint64), fs, k)
 
@@ -577,25 +587,20 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
     return out, directory
 
 
-def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
-                        directory: "ShardDirectory", spec: SketchSpec):
-    """Chunked probe against a split filter table: sorted probe chunks are
-    cut at the directory boundaries and co-grouped by row key."""
+def _emit_split_chunks(df, spec_in: SketchSpec, directory: "ShardDirectory",
+                       max_buffer: int = 16_000_000):
+    """mapInArrow pass shared by split probe/remove: sorted fingerprint
+    chunks cut at the directory boundaries, flushed every ``max_buffer``
+    fingerprints so per-task state stays bounded (same discipline as
+    ``_emit_chunk_rows``; downstream co-groups already sum/iterate over
+    multiple chunk rows per (task, key))."""
     import pyarrow as pa
 
     fs, k = directory.fs, directory.k
+    mask = (np.uint64((1 << fs) - 1) if fs < 64
+            else np.uint64(0xFFFFFFFFFFFFFFFF))
 
-    def emit_probe_chunks(batches):
-        mask = (np.uint64((1 << fs) - 1) if fs < 64
-                else np.uint64(0xFFFFFFFFFFFFFFFF))
-        buf: list[np.ndarray] = []
-        for batch in batches:
-            if batch.num_rows:
-                data = spec_in.extract(batch)
-                if data.size:
-                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
-        if not buf:
-            return
+    def flush(buf: list) -> "pa.RecordBatch":
         fps = np.concatenate(buf)
         fps.sort(kind="stable")
         keys, shards, ns, pays = [], [], [], []
@@ -605,12 +610,39 @@ def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
             shards.append(shard)
             ns.append(int(part.size))
             pays.append(_pack_chunk(part, shard, fs - k))
-        yield pa.record_batch(
+        return pa.record_batch(
             [pa.array(keys, pa.int32()), pa.array(shards, pa.int32()),
              pa.array(ns, pa.int64()), pa.array(pays, pa.binary())],
             names=["key", "shard", "n_fps", "payload"])
 
-    probe_chunks = df.select(spec_in.col).mapInArrow(emit_probe_chunks, SPLIT_SCHEMA)
+    def emit(batches):
+        buf: list[np.ndarray] = []
+        buffered = 0
+        for batch in batches:
+            if batch.num_rows:
+                data = spec_in.extract(batch)
+                if data.size:
+                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
+                    buffered += data.size
+            if buffered >= max_buffer:
+                yield flush(buf)
+                buf, buffered = [], 0
+        if buf:
+            yield flush(buf)
+
+    return df.select(spec_in.col).mapInArrow(emit, SPLIT_SCHEMA)
+
+
+def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
+                        directory: "ShardDirectory", spec: SketchSpec,
+                        max_buffer: int = 16_000_000):
+    """Chunked probe against a split filter table: sorted probe chunks are
+    cut at the directory boundaries and co-grouped by row key."""
+    import pyarrow as pa
+
+    fs, k = directory.fs, directory.k
+
+    probe_chunks = _emit_split_chunks(df, spec_in, directory, max_buffer)
 
     def probe_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
         if probes_tbl.num_rows == 0:
@@ -641,7 +673,8 @@ def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
 
 
 def remove_sharded_split(filter_df, removals_df, spec_in: SketchSpec,
-                         directory: "ShardDirectory", spec: SketchSpec):
+                         directory: "ShardDirectory", spec: SketchSpec,
+                         max_buffer: int = 16_000_000):
     """Distributed remove against a SPLIT filter table.
 
     Retractions are extracted with the same kernel as the build, sorted,
@@ -655,31 +688,6 @@ def remove_sharded_split(filter_df, removals_df, spec_in: SketchSpec,
 
     fs, k = directory.fs, directory.k
     keep = getattr(spec.make(), "keep_duplicates", True)
-
-    def emit_removal_chunks(batches):
-        mask = (np.uint64((1 << fs) - 1) if fs < 64
-                else np.uint64(0xFFFFFFFFFFFFFFFF))
-        buf: list[np.ndarray] = []
-        for batch in batches:
-            if batch.num_rows:
-                data = spec_in.extract(batch)
-                if data.size:
-                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
-        if not buf:
-            return
-        fps = np.concatenate(buf)
-        fps.sort(kind="stable")
-        keys, shards, ns, pays = [], [], [], []
-        for key, part in directory.split_sorted(fps):
-            shard = int(directory.shards[key])
-            keys.append(key)
-            shards.append(shard)
-            ns.append(int(part.size))
-            pays.append(_pack_chunk(part, shard, fs - k))
-        yield pa.record_batch(
-            [pa.array(keys, pa.int32()), pa.array(shards, pa.int32()),
-             pa.array(ns, pa.int64()), pa.array(pays, pa.binary())],
-            names=["key", "shard", "n_fps", "payload"])
 
     def apply_removals(key, rem_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
         if filt_tbl.num_rows == 0:
@@ -702,8 +710,7 @@ def remove_sharded_split(filter_df, removals_df, spec_in: SketchSpec,
                          "n_fps": pa.array([len(sk.filter)], pa.int64()),
                          "payload": pa.array([blob], pa.binary())})
 
-    chunks = removals_df.select(spec_in.col).mapInArrow(
-        emit_removal_chunks, SPLIT_SCHEMA)
+    chunks = _emit_split_chunks(removals_df, spec_in, directory, max_buffer)
     return (chunks.groupBy("key")
             .cogroup(filter_df.groupBy("key"))
             .applyInArrow(apply_removals, SPLIT_SCHEMA))

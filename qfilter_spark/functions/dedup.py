@@ -163,10 +163,36 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return verified.where(F.col("jacc_millis") >= threshold_millis)
 
 
+_NGRAM_EX_TABLE = "qfs_ngram_ex"
+
+
+def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
+    """Checkpoint the annotated explode to a bucketed+sorted parquet table.
+
+    The warehouse-scale home for the one big ngram-jaccard intermediate:
+    written ONCE (hash-bucketed by ``hs``), every downstream consumer —
+    the rare-pair self-join, the per-doc stats, the hot intersection —
+    scans it co-partitioned with no exchange on ``hs`` and no session-long
+    cache pin (the round-2 MEMORY_AND_DISK persist leaked across
+    invocations; the table is simply overwritten by the next call).
+    """
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"qfs_ngram_ex_{spark.sparkContext.applicationId}")
+    (df.write.mode("overwrite").format("parquet")
+       .bucketBy(n_buckets, "hs").sortBy("hs")
+       .option("path", path).saveAsTable(_NGRAM_EX_TABLE))
+    return spark.table(_NGRAM_EX_TABLE)
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold_millis: int = 800,
-                        max_df: int = 500) -> DataFrame:
+                        max_df: int = 500,
+                        bucketed_table: bool = True) -> DataFrame:
     """Exact n-gram Jaccard >= threshold WITHOUT minhash, as joins + counts.
 
     The 100 TB-shaped plan (replaces the round-1 pair-explosion self-join):
@@ -186,7 +212,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
        intersection = inter_rare + inter_hot; union = n_a + n_b - inter.
 
     No string arrays through any shuffle, no driver collects, every stage a
-    hash equi-join or partial-aggregated count. Recall caveat (unchanged
+    hash equi-join or partial-aggregated count. The one large intermediate
+    (the freq-annotated explode) is checkpointed to a bucketed+sorted
+    parquet table (see :func:`_materialize_bucketed`), so its consumers
+    scan co-partitioned and nothing is pinned in executor memory. Recall caveat (unchanged
     from round 1): a qualifying pair whose every common shingle is hot is
     missed; at J >= 0.8 a pair shares most of its shingles, so sharing at
     least one rare one is near-certain on real corpora. Step 4's self-join
@@ -199,21 +228,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col("shingle_hashes").alias("hs_arr"))
     ex = hashed.select("doc_id", F.explode("hs_arr").alias("hs"))
     dfreq = ex.groupBy("hs").agg(F.count("*").alias("freq"))
-    # annotate every exploded row with its corpus frequency ONCE, then cache
-    # it hash-partitioned by hs at an EXPLICIT partition count: a bare
-    # .persist() would pin the cache at the session's raw shuffle partition
-    # count (200 default => 200 tasks for every downstream stage, AQE can't
-    # coalesce cached plans), while the explicit hs-partitioning also feeds
-    # the rare self-join co-partitioned — no re-shuffle of either side. At
-    # warehouse scale this is the intermediate you'd checkpoint to a
-    # bucketed table.
-    from pyspark import StorageLevel
-
+    # annotate every exploded row with its corpus frequency ONCE, then
+    # materialize it bucketed+sorted by hs (default) — the checkpointed
+    # bucketed table every downstream stage reads co-partitioned, with no
+    # cache pinned for the life of the session. The legacy in-memory path
+    # (bucketed_table=False) repartitions by hs at an explicit partition
+    # count instead: a bare .persist() would pin the cache at the session's
+    # raw shuffle partition count (200 default => 200 tasks for every
+    # downstream stage; AQE can't coalesce cached plans).
     rare = F.col("freq") <= max_df
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
-    ex_f = (ex.join(dfreq, "hs").repartition(n_parts, "hs")
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    annotated = ex.join(dfreq, "hs")
+    if bucketed_table:
+        ex_f = _materialize_bucketed(spark, annotated, n_parts)
+    else:
+        from pyspark import StorageLevel
+
+        ex_f = (annotated.repartition(n_parts, "hs")
+                .persist(StorageLevel.MEMORY_AND_DISK))
 
     ex_rare = ex_f.where(rare).select("doc_id", "hs")
     pairs_rare = (ex_rare.alias("a").join(ex_rare.alias("b"), "hs")

@@ -288,17 +288,35 @@ def xxh64_str(s: str, seed: int = SPARK_SEED) -> int:
 def hash_obj(item, seed: int = SPARK_SEED) -> int:
     """Hash a Python scalar (or composite) the way Spark columns would.
 
-    ints -> 8-byte LE lane (Spark long); str -> UTF-8 bytes; bytes ->
-    bytes. Tuples/lists chain element hashes the way
-    ``F.xxhash64(c1, c2, ...)`` chains columns (each element's hash seeds
-    the next lane) — the generic ``T: Hash`` analog for composite keys
-    (reference src/lib.rs:973, stable_hasher.rs:60-65; our family is
+    ints -> 8-byte LE lane (Spark long); floats -> the IEEE754 long bits
+    of the DOUBLE (Spark DoubleType lane: -0.0 normalized to 0.0, NaN to
+    the canonical Java ``doubleToLongBits`` pattern 0x7ff8…; np.float32
+    is promoted, matching ``F.xxhash64(col.cast("double"))``); str ->
+    UTF-8 bytes; bytes -> bytes; None -> the lane is SKIPPED (Spark hashes
+    null columns by passing the seed through unchanged). Tuples/lists
+    chain element hashes the way ``F.xxhash64(c1, c2, ...)`` chains
+    columns (each element's hash seeds the next lane; nested sequences
+    flatten into the chain) — the generic ``T: Hash`` analog for composite
+    keys (reference src/lib.rs:973, stable_hasher.rs:60-65; our family is
     Spark-parity XXH64, a documented deviation — SURVEY.md §1.3).
     """
+    import struct as _struct
+
     if isinstance(item, bool):
         raise TypeError("hash bools explicitly as ints")
+    if item is None:
+        return int(seed)  # null lane: seed passes through (Spark semantics)
     if isinstance(item, (int, np.integer)):
         return int(xxh64_u64(np.asarray([np.uint64(int(item) & _M64)]), seed)[0])
+    if isinstance(item, (float, np.floating)):
+        d = float(item)
+        if d != d:
+            bits = 0x7FF8000000000000  # canonical NaN (doubleToLongBits)
+        else:
+            if d == 0.0:
+                d = 0.0  # normalize -0.0 (SPARK-27619)
+            bits = _struct.unpack("<Q", _struct.pack("<d", d))[0]
+        return int(xxh64_u64(np.asarray([np.uint64(bits)]), seed)[0])
     if isinstance(item, str):
         return xxh64_str(item, seed)
     if isinstance(item, (bytes, bytearray)):

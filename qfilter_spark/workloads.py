@@ -58,24 +58,58 @@ def _hashed(df: DataFrame, col: str, out: str = "h") -> DataFrame:
     return df.withColumn(out, F.xxhash64(F.col(col).cast("long")))
 
 
-class _few_shuffle_partitions:
-    """Temporarily cap spark.sql.shuffle.partitions for a streaming query.
+class _session_confs:
+    """Temporarily override session confs (restored on exit)."""
+
+    def __init__(self, spark: SparkSession, **confs):
+        self.spark, self.confs = spark, confs
+
+    def __enter__(self):
+        self.old = {k: self.spark.conf.get(k, None) for k in self.confs}
+        for k, v in self.confs.items():
+            self.spark.conf.set(k, str(v))
+
+    def __exit__(self, *exc):
+        for k, v in self.old.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
+    """Cap spark.sql.shuffle.partitions for a streaming query, and pin the
+    session timezone to UTC so event-time window arithmetic is portable.
 
     A Structured Streaming checkpoint fixes its STATE partition count from
     this setting at first start; a 200-partition default means 200 state
     tasks per trigger for a toy stream. Gate/bench streams set a small
     count for their own (fresh) checkpoints and restore the session value.
     """
+    return _session_confs(spark, **{"spark.sql.shuffle.partitions": n,
+                                    "spark.sql.session.timeZone": "UTC"})
 
-    def __init__(self, spark: SparkSession, n: int = 8):
-        self.spark, self.n = spark, n
 
-    def __enter__(self):
-        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+def _write_stream_chunks(df: DataFrame, src: str, preds: list,
+                         start: int = 0) -> None:
+    """Write one parquet chunk file per predicate into ``src`` with
+    ascending mtimes — the deterministic file-source replay setup for the
+    streaming gate queries, done entirely Spark-side (executors write each
+    chunk; the driver renames the part FILE, it never materializes rows —
+    a real deployment reads Kafka/files already in place).
+    """
+    import glob
+    import os
+    import shutil
 
-    def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+    for i, pred in enumerate(preds, start=start):
+        tmp = os.path.join(src, f".tmp-{i}")
+        df.where(pred).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
@@ -152,7 +186,14 @@ def q_rsqf_merge_invariance(spark, sf_dir):
 
 
 def q_rsqf_growth(spark, sf_dir):
-    """Resizeable filter grows through capacity doublings, keeps all items."""
+    """Resizeable filter grows through capacity doublings, keeps all items.
+
+    Also gates the trivial accessors on the grown filter (reference
+    src/lib.rs capacity/clear semantics): ``capacity()`` must cover the
+    stored items (growth bookkeeping), ``capacity_resizeable()`` bounds it,
+    and ``clear()`` empties the filter so a previously-contained key
+    probes absent.
+    """
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
     n = table_rows(sf_dir, "events")
     spec = SketchSpec("rsqf", dict(capacity=max(256, 2 * n), fp_rate=0.01,
@@ -161,7 +202,18 @@ def q_rsqf_growth(spark, sf_dir):
     sk = sketches.loads(blob)
     contained = probe_hashes(ev.select("h"), blob, "h", out_col="c", as_bool=True) \
         .agg(F.sum(F.col("c").cast("long")).alias("n")).collect()[0]["n"]
-    return _one_row(spark, len_after=len(sk.filter), n_contained=int(contained))
+    f = sk.filter
+    len_after = len(f)
+    cap_ok = (f.capacity() >= len_after
+              and f.capacity_resizeable() >= f.capacity()
+              and f.memory_usage() > 0)
+    h0 = np.uint64(np.int64(ev.select("h").first()["h"]))
+    had = bool(f.contains_hashes(np.array([h0], dtype=np.uint64))[0])
+    f.clear()
+    gone = not bool(f.contains_hashes(np.array([h0], dtype=np.uint64))[0])
+    clear_ok = had and f.is_empty and len(f) == 0 and gone
+    return _one_row(spark, len_after=len_after, n_contained=int(contained),
+                    cap_ok=bool(cap_ok), clear_ok=bool(clear_ok))
 
 
 def q_rsqf_remove(spark, sf_dir):
@@ -407,6 +459,68 @@ def q_rsqf_sharded_skew(spark, sf_dir):
                     hot_shard_split=bool(shape["rows"] > n_shards + 1),
                     rows_bounded=bool(shape["mx"] <= 1.5 * cap),
                     split_equals_single=identical)
+
+
+def q_rsqf_split_remove_shrink(spark, sf_dir):
+    """Distributed remove + shrink through the SPLIT shard layout.
+
+    Reference remove semantics src/lib.rs:1056-1129 and shrink
+    src/lib.rs:1311-1328 (tests src/lib.rs:1687-1754), applied to the
+    skew-resistant split table: build a split filter over events at 4x
+    headroom, retract every ``event_id % 3 == 0`` key through the directory
+    (``remove_sharded_split`` — retractions shuffle as sorted chunk rows,
+    never through the driver), then run the distributed shrink maintenance
+    pass (``shrink_sharded``). Asserts, fully distributed except the
+    metadata-scale parity collapse:
+
+    - the shrunk split table's fingerprint union is IDENTICAL to the
+      (already-gated) unsplit ``remove_sharded`` result — split remove ==
+      sharded remove == single-node remove, transitively;
+    - shrink reclaimed at-rest bytes while keeping every fingerprint;
+    - every surviving key still probes as contained through the split path.
+    """
+    from .dist.sharded import (build_sharded_filter, build_sharded_filter_split,
+                               probe_sharded_split, remove_sharded,
+                               remove_sharded_split, sharded_to_single,
+                               shrink_sharded, split_to_single)
+
+    ev = _hashed(load(spark, sf_dir, "events"), "event_id")
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=max(256, 4 * n), fp_rate=0.01),
+                      "hash_col", "h")
+    n_shards = 16
+    removals = ev.where("event_id % 3 = 0")
+    keep = ev.where("event_id % 3 != 0")
+
+    # force real splits so the remove path exercises the directory routing
+    filt, directory = build_sharded_filter_split(
+        fan_out(ev), spec, n_shards=n_shards,
+        max_fps_per_row=max(64, n // 8))
+    after = remove_sharded_split(filt, removals, spec, directory, spec).cache()
+    bytes_before = after.agg(F.sum(F.length("payload")).alias("b")) \
+        .collect()[0]["b"]
+    shrunk = shrink_sharded(after).cache()
+    bytes_after = shrunk.agg(F.sum(F.length("payload")).alias("b")) \
+        .collect()[0]["b"]
+    len_after = shrunk.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
+
+    # parity reference: the unsplit distributed remove (itself gated
+    # bit-equal to the single-node filter by rsqf_remove/rsqf_sharded)
+    ref = remove_sharded(build_sharded_filter(ev, spec, n_shards=n_shards),
+                         removals, "h", n_shards, spec)
+    a = sketches.loads(split_to_single(shrunk, spec, n_shards))
+    b = sketches.loads(sharded_to_single(ref, spec, n_shards))
+    identical = bool(np.array_equal(a.filter.fingerprints(),
+                                    b.filter.fingerprints()))
+
+    stats = (probe_sharded_split(keep, spec, shrunk, directory, spec)
+             .agg(F.sum("n_contained").alias("n")).collect()[0])
+    after.unpersist()
+    shrunk.unpersist()
+    return _one_row(spark, len_after=int(len_after),
+                    n_remaining_contained=int(stats["n"]),
+                    split_remove_equals_sharded=identical,
+                    shrink_reclaimed_bytes=bool(bytes_after < bytes_before))
 
 
 # ---------------------------------------------------------------------------
@@ -723,7 +837,8 @@ def q_streaming_keyed(spark, sf_dir):
     """Per-key streaming sketches via ``applyInPandasWithState``
     (north_rule: keyed streaming state), driven deterministically.
 
-    Events replay as a file-source stream (4 chunks, one per trigger);
+    Events replay as a file-source stream (3 chunks by ``event_id % 3``,
+    one per trigger, written Spark-side — no driver materialization);
     Spark's state store holds one RSQF per event_type, updated every
     trigger. The final cumulative (key, n_items) rows must equal the batch
     group counts — the exact DuckDB oracle — and, since event_ids are
@@ -732,9 +847,6 @@ def q_streaming_keyed(spark, sf_dir):
     import os
     import tempfile
     import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from .streaming import keyed_sketch_stream
 
@@ -745,16 +857,10 @@ def q_streaming_keyed(spark, sf_dir):
     with tempfile.TemporaryDirectory() as d:
         src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
         os.makedirs(src)
-        schema = pa.schema([("event_type", pa.string()),
-                            ("event_id", pa.int64())])
-        tbl = pa.Table.from_pandas(
-            ev.orderBy("event_id").select("event_type", "event_id").toPandas(),
-            preserve_index=False).cast(schema)
-        step = (tbl.num_rows + 2) // 3
-        for i in range(3):
-            p = os.path.join(src, f"{i:02d}.parquet")
-            pq.write_table(tbl.slice(i * step, step), p)
-            os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+        _write_stream_chunks(
+            ev.select("event_type", F.col("event_id").cast("long")
+                      .alias("event_id")),
+            src, [F.pmod("event_id", F.lit(3)) == i for i in range(3)])
         stream = (spark.readStream.schema("event_type string, event_id long")
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .withColumn("h", F.xxhash64(F.col("event_id").cast("long"))))
@@ -784,20 +890,19 @@ def q_streaming_windowed(spark, sf_dir):
     driven deterministically (north_rule: windowed/keyed streaming state).
 
     The events table is re-played as a file-source stream in event-time
-    order (5 chunk files, one per trigger); tumbling 1-day windows are
-    maintained as per-window RSQF state via ``applyInPandasWithState``
-    (EventTimeTimeout). A far-future sentinel row pushes the watermark past
-    every real window so each one finalizes exactly once. The finalized
+    order (3 ascending time-range chunks + a far-future sentinel, all
+    written Spark-side — no driver materialization); tumbling 1-day windows
+    are maintained as per-window RSQF state via ``applyInPandasWithState``
+    (EventTimeTimeout). The sentinel pushes the watermark past every real
+    window so each one finalizes exactly once. The finalized
     (win_start, n_items) rows must equal the batch per-day counts — the
-    exact DuckDB oracle — and a full second replay must produce an
-    identical result (replay idempotence).
+    exact DuckDB oracle. Replay idempotence is asserted by RESTARTING the
+    query from its checkpoint with one extra source file: the restarted
+    query must recover its state, skip every already-processed file, and
+    re-finalize nothing (one extra trigger instead of a full second replay).
     """
     import os
     import tempfile
-    import uuid
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from .streaming import windowed_sketch_stream
 
@@ -806,54 +911,60 @@ def q_streaming_windowed(spark, sf_dir):
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01),
                       "hash_col", "h")
 
-    def run_once(tag: str):
-        with tempfile.TemporaryDirectory() as d:
-            src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
-            os.makedirs(src)
-            # deterministic replay: event-time-ordered chunks, one per
-            # trigger (stream-source setup, not operator work — a real
-            # deployment reads Kafka/files already in place)
-            schema = pa.schema([("ts", pa.timestamp("us")),
-                                ("event_id", pa.int64())])
-            tbl = pa.Table.from_pandas(
-                ev.orderBy("ts").select("ts", "event_id").toPandas(),
-                preserve_index=False).cast(schema)
-            sentinel = pa.table(
-                {"ts": pa.array([4102444800000000], pa.timestamp("us")),
-                 "event_id": pa.array([-1], pa.int64())}).cast(schema)  # 2100-01-01
-            step = (tbl.num_rows + 2) // 3
-            chunks = [tbl.slice(i * step, step) for i in range(3)]
-            chunks.append(sentinel)
-            for i, c in enumerate(chunks):
-                p = os.path.join(src, f"{i:02d}.parquet")
-                pq.write_table(c, p)
-                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
-            stream = (spark.readStream.schema("ts timestamp, event_id long")
+    with _few_shuffle_partitions(spark), tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        os.makedirs(src)
+        ts_ev = ev.select(F.col("ts").cast("timestamp").alias("ts"),
+                          F.col("event_id").cast("long").alias("event_id"))
+        b = ts_ev.agg(F.min(F.unix_timestamp("ts")).alias("lo"),
+                      F.max(F.unix_timestamp("ts")).alias("hi")).collect()[0]
+        lo, hi = int(b["lo"]), int(b["hi"]) + 1
+        cuts = [lo + (hi - lo) * i // 3 for i in range(4)]
+        u = F.unix_timestamp("ts")
+        _write_stream_chunks(
+            ts_ev, src,
+            [(u >= cuts[i]) & (u < cuts[i + 1]) for i in range(3)])
+        sentinel = spark.sql(
+            "SELECT timestamp'2100-01-01 00:00:00' AS ts, "
+            "CAST(-1 AS LONG) AS event_id")
+        _write_stream_chunks(sentinel, src, [F.lit(True)], start=3)
+
+        def run(extra_file_df=None, start_idx=4):
+            if extra_file_df is not None:
+                _write_stream_chunks(extra_file_df, src, [F.lit(True)],
+                                     start=start_idx)
+            stream = (spark.readStream
+                      .schema("ts timestamp, event_id long")
                       .option("maxFilesPerTrigger", 1).parquet(src)
-                      .withColumn("h", F.xxhash64(F.col("event_id").cast("long"))))
+                      .withColumn("h", F.xxhash64(F.col("event_id"))))
             out = windowed_sketch_stream(stream, spec, "ts",
                                          window_secs=86_400,
                                          watermark_delay="1 second")
-            name = f"win_sketch_{tag}_{uuid.uuid4().hex[:8]}"
-            with _few_shuffle_partitions(spark):
-                q = (out.writeStream.format("memory").queryName(name)
-                     .outputMode("update")
-                     .option("checkpointLocation", ckpt).start())
-                try:
-                    q.processAllAvailable()
-                finally:
-                    q.stop()
-            rows = spark.sql(
-                f"SELECT win_start, n_items, sketch_len FROM {name} "
-                "WHERE final ORDER BY win_start").collect()
-            spark.catalog.dropTempView(name)
-            return [(int(r["win_start"]), int(r["n_items"]), int(r["sketch_len"]))
-                    for r in rows]
+            finals: list[tuple[int, int, int]] = []
 
-    first, second = run_once("a"), run_once("b")
-    replay_identical = first == second
+            def sink(bdf, bid):
+                finals.extend(
+                    (int(r["win_start"]), int(r["n_items"]),
+                     int(r["sketch_len"]))
+                    for r in bdf.where("final").collect())
+
+            q = (out.writeStream.foreachBatch(sink).outputMode("update")
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            return sorted(finals)
+
+        first = run()
+        # restart from checkpoint: a second sentinel forces one real
+        # trigger; recovered state must re-finalize nothing
+        second = run(spark.sql(
+            "SELECT timestamp'2100-01-02 00:00:00' AS ts, "
+            "CAST(-2 AS LONG) AS event_id"))
+        restart_clean = second == []
     return spark.createDataFrame(
-        [(w, ni, bool(ni == sl and replay_identical)) for w, ni, sl in first],
+        [(w, ni, bool(ni == sl and restart_clean)) for w, ni, sl in first],
         "win_start long, n_items long, window_ok boolean")
 
 
@@ -899,15 +1010,45 @@ def q_ann_ivf_recall(spark, sf_dir):
     return _one_row(spark, n_queries=10, recall_ok=bool(recall >= 0.35))
 
 
+PLANTED_EMB_BASE_ID = 10_000_000
+
+
+def planted_near_dup_vectors(dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Deterministic near-duplicate embedding groups planted into the
+    ``dedup_embedding_cosine`` gate input AND its DuckDB oracle (as VALUES
+    rows), so the gate row discriminates — the synthetic corpus itself has
+    no qualifying pairs, and 0 == 0 rows proves nothing. Groups of sizes
+    (3, 2, 2) with ~0.999 within-group cosine -> 5 qualifying pairs; values
+    are rounded to exact float32 so both engines ingest identical inputs,
+    and all cosines sit far from the 0.95 threshold (within-group ~0.999,
+    cross-group/corpus |cos| <~ 0.5) so float32-vs-float64 evaluation order
+    cannot flip a pair.
+    """
+    rng = np.random.default_rng(20260816)
+    out = []
+    vid = PLANTED_EMB_BASE_ID
+    for size in (3, 2, 2):
+        base = rng.standard_normal(dim)
+        for _ in range(size):
+            v = base + 0.02 * rng.standard_normal(dim)
+            out.append((vid, [float(np.float32(x)) for x in v]))
+            vid += 1
+    return out
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: LSH blocking + exact cosine >= 0.95 verify.
+    """Embedding near-dup pairs: LSH blocking + exact cosine >= 0.95 verify,
+    over the corpus plus the planted near-dup groups (both engines see the
+    same union, so the qualifying pair set is nonempty and exact).
 
     Recall for true near-dups at this threshold is ~1-1e-7, so the output
     equals the exact all-pairs oracle.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.select("embedding").first()["embedding"])
-    return ann.cosine_near_pairs(emb, threshold=0.95, dim=dim)
+    planted = spark.createDataFrame(planted_near_dup_vectors(dim),
+                                    "vec_id long, embedding array<float>")
+    return ann.cosine_near_pairs(emb.union(planted), threshold=0.95, dim=dim)
 
 
 def q_multimodal_stats(spark, sf_dir):

@@ -36,6 +36,7 @@ def main():
              .config("spark.sql.shuffle.partitions", shuffle)
              .config("spark.ui.enabled", "false")
              .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -41,7 +41,6 @@ def main():
         .withColumn("h", F.xxhash64(F.col("doc_id")))
     parts = partial_sketches(docs, SketchSpec(
         "rsqf", dict(capacity=4096, fp_rate=0.01), "hash_col", "h"))
-    plan = parts._sc is None  # placeholder, replaced below
     plan = parts._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     print(plan, file=sys.stderr)

@@ -105,6 +105,21 @@ def test_composite_key_hash_parity_with_jvm(spark):
     assert got == want
 
 
+def test_mixed_type_key_hash_parity_with_jvm(spark):
+    """hash_obj over (long, double, string-or-null) == F.xxhash64 chain,
+    including -0.0/NaN normalization and null-lane skipping."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.hashing import hash_obj
+
+    rows = [(7, 1.5, "alpha"), (-1, -0.0, None), (0, float("nan"), "z"),
+            (3, 0.0, None)]
+    df = spark.createDataFrame(rows, "a long, d double, s string")
+    got = [r[0] for r in df.select(F.xxhash64("a", "d", "s")).collect()]
+    want = [int(np.int64(np.uint64(hash_obj((a, d, s))))) for a, d, s in rows]
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # distributed build + probe + single-node parity (F4)
 # ---------------------------------------------------------------------------

@@ -70,3 +70,38 @@ def test_vector_seed_broadcast():
     out = xxh64_u64(vals, seeds)
     for i in range(4):
         assert out[i] == xxh64_u64(vals[i : i + 1], int(seeds[i]))[0]
+
+
+# Spark 4.1.2 F.xxhash64 vectors for DoubleType lanes (seed 42):
+# doubles hash their IEEE754 long bits, -0.0 normalized to 0.0
+# (SPARK-27619), NaN canonicalized (Java doubleToLongBits); a NULL column
+# passes the seed through unchanged.
+SPARK_DOUBLE_VECTORS = {
+    1.5: 7738255526519901366,
+    0.0: -5252525462095825812,
+    -0.0: -5252525462095825812,
+    float("nan"): -3127944061524951246,
+}
+
+
+def test_hash_obj_floats_match_spark_vectors():
+    from qfilter_spark.hashing import hash_obj, to_i64
+
+    for v, want in SPARK_DOUBLE_VECTORS.items():
+        assert int(np.int64(np.uint64(hash_obj(v)))) == want
+    assert hash_obj(np.float32(1.5)) == hash_obj(1.5)  # promoted to double
+    assert hash_obj(np.float64(-0.0)) == hash_obj(0.0)
+
+
+def test_hash_obj_none_and_nested():
+    from qfilter_spark.hashing import SPARK_SEED, hash_obj
+
+    # a null lane passes the seed through: top-level None == seed,
+    # None inside a composite is a no-op lane
+    assert hash_obj(None) == SPARK_SEED
+    assert hash_obj((1, None, "a")) == hash_obj((1, "a"))
+    assert hash_obj((None, 7)) == hash_obj(7)
+    # nested sequences flatten into the same lane chain
+    assert hash_obj((1, (2.5, "x"), b"y")) == hash_obj((1, 2.5, "x", b"y"))
+    # mixed-type chain is order-sensitive
+    assert hash_obj((1, "a")) != hash_obj(("a", 1))

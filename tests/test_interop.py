@@ -77,6 +77,69 @@ def test_bincode_roundtrip_property(hashes):
     assert np.array_equal(back.fingerprints(), f.fingerprints())
 
 
+# ---------------------------------------------------------------------------
+# golden-blob fixture: HAND-DERIVED constant bytes for a tiny known filter,
+# computed from the PUBLIC reference layout alone (src/lib.rs:468-486,
+# 570-572, 725-780) — never from our own encoder — so the interop claim no
+# longer rests solely on our encoder/decoder pair agreeing with itself.
+#
+# Filter: qbits=6 (64 slots, ONE block), rbits=7, max_qbits=None, holding
+# fingerprints {(q=5,r=0x11), (q=5,r=0x22), (q=9,r=0x33)}:
+#   * runs: bucket 5 -> slots 5,6 (remainders ascending); bucket 9 -> slot 9
+#   * occupieds word = (1<<5)|(1<<9) = 0x220;  runends = (1<<6)|(1<<9) = 0x240
+#   * block offset byte = 0 (no run covers slot 0)
+#   * remainder area: 64 slots x 7 bits, LSB-first; slot i occupies bits
+#     [7i, 7i+7). slot5=0x11 -> area bits 35,39; slot6=0x22 -> bits 43,47;
+#     slot9=0x33 -> bits 63,64,67,68. Packed bytes: [4]=0x88 [5]=0x88
+#     [7]=0x80 [8]=0x19, rest zero (56 bytes).
+# bincode v1 = u64 LE buflen (0x49=73) + buffer + u64 LE l=3 + q=6 + r=7
+#              + Option tag 0x00.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_FPS = np.array([(5 << 7) | 0x11, (5 << 7) | 0x22, (9 << 7) | 0x33],
+                       dtype=np.uint64)
+
+_GOLDEN_BUFFER = (
+    bytes([0x00])                                    # offset
+    + (0x220).to_bytes(8, "little")                  # occupieds
+    + (0x240).to_bytes(8, "little")                  # runends
+    + bytes([0, 0, 0, 0, 0x88, 0x88, 0, 0x80, 0x19]) + bytes(47))
+
+_GOLDEN_BINCODE = ((73).to_bytes(8, "little") + _GOLDEN_BUFFER
+                   + (3).to_bytes(8, "little") + bytes([6, 7, 0]))
+
+_GOLDEN_JSON = ('{"b":[' + ",".join(str(b) for b in _GOLDEN_BUFFER)
+                + '],"l":3,"q":6,"r":7}')
+
+
+def test_golden_blob_bincode():
+    f = Filter(6, 7, None, _GOLDEN_FPS.copy())
+    assert interop.to_reference_bincode(f) == _GOLDEN_BINCODE
+    back = interop.from_reference_bincode(_GOLDEN_BINCODE)
+    assert (back.qbits, back.rbits, back.max_qbits) == (6, 7, None)
+    assert np.array_equal(back.fingerprints(), _GOLDEN_FPS)
+
+
+def test_golden_blob_json():
+    f = Filter(6, 7, None, _GOLDEN_FPS.copy())
+    assert json.loads(interop.to_reference_json(f)) == json.loads(_GOLDEN_JSON)
+    back = interop.from_reference_json(_GOLDEN_JSON)
+    assert (back.qbits, back.rbits, back.max_qbits) == (6, 7, None)
+    assert np.array_equal(back.fingerprints(), _GOLDEN_FPS)
+
+
+def test_golden_blob_option_some():
+    """max_qbits present -> bincode Option tag 1 + value byte; JSON field g."""
+    f = Filter(6, 7, 8, _GOLDEN_FPS.copy())
+    data = interop.to_reference_bincode(f)
+    assert data == ((73).to_bytes(8, "little") + _GOLDEN_BUFFER
+                    + (3).to_bytes(8, "little") + bytes([6, 7, 1, 8]))
+    assert json.loads(interop.to_reference_json(f))["g"] == 8
+    back = interop.from_reference_bincode(data)
+    assert back.max_qbits == 8
+    assert np.array_equal(back.fingerprints(), _GOLDEN_FPS)
+
+
 def test_corrupt_buffer_length_rejected():
     f = _filled(n=10, cap=100)
     data = bytearray(interop.to_reference_bincode(f))
