@@ -244,6 +244,82 @@ def ivf_centroids(emb_df: DataFrame, n_lists: int = 16, n_iters: int = 4,
     return cent
 
 
+def ivf_centroids_distributed(emb_df: DataFrame, n_lists: int = 16,
+                              n_iters: int = 4, init_sample_cap: int = 4096,
+                              id_col: str = "vec_id",
+                              emb_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd iterations for the IVF coarse quantizer.
+
+    For corpora where the bounded driver-side sample under-covers (many
+    lists, small clusters): initialization still comes from the
+    deterministic bounded sample (fixed driver cost at any scale), but
+    every Lloyd iteration computes assignments and PARTIAL SUMS over the
+    FULL corpus — one ``mapInArrow`` pass per iteration emits
+    per-partition (list_id, count, sum-vector) partials (at most
+    n_partitions x n_lists rows of dim doubles — metadata-scale), which
+    the driver reduces into the new centroids. Each iteration is an
+    embarrassingly parallel scan (one GEMM per Arrow batch, partial sums
+    combined in-task); no shuffle anywhere. Spherical k-means: centroids
+    re-normalized every round, empty lists keep their previous centroid.
+
+    The sample-sufficiency bound for the default trainer: with n_lists
+    lists trained on m samples, each list sees ~m/n_lists points; at
+    m=4096, 16 lists -> 256 points/list (fine), 256 lists -> 16 (noisy).
+    Use this trainer when n_lists exceeds ~m/64.
+    """
+    import pyarrow as pa
+
+    spark = emb_df.sparkSession
+    # deterministic seeded init from the bounded sample (same recipe as
+    # the driver-side trainer, iterations moved to the cluster)
+    from pyspark.sql import functions as SF
+
+    rows = (emb_df.select(id_col, emb_col)
+            .where(SF.pmod(SF.xxhash64(SF.col(id_col).cast("long")), SF.lit(4))
+                   == SF.lit(0))
+            .orderBy(id_col).limit(init_sample_cap).collect())
+    m = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(LSH_SEED)
+    cent = m[rng.choice(m.shape[0], min(n_lists, m.shape[0]), replace=False)]
+    dim = cent.shape[1]
+    data = emb_df.select(emb_col)
+
+    for _ in range(n_iters):
+        b = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            c = b.value
+            sums = np.zeros((c.shape[0], dim), dtype=np.float64)
+            counts = np.zeros(c.shape[0], dtype=np.int64)
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                x = _normalize(_emb_matrix(batch, emb_col))
+                assign = np.argmax(x @ c.T, axis=1)
+                np.add.at(sums, assign, x)
+                np.add.at(counts, assign, 1)
+            nz = np.flatnonzero(counts)
+            yield pa.record_batch(
+                [pa.array(nz.astype(np.int32), pa.int32()),
+                 pa.array(counts[nz], pa.int64()),
+                 pa.array([sums[j].tobytes() for j in nz], pa.binary())],
+                names=["list_id", "cnt", "vsum"])
+
+        agg = data.mapInArrow(partials,
+                              "list_id int, cnt long, vsum binary").collect()
+        b.unpersist()
+        sums = np.zeros((cent.shape[0], dim), dtype=np.float64)
+        counts = np.zeros(cent.shape[0], dtype=np.int64)
+        for r in agg:
+            j = int(r["list_id"])
+            counts[j] += int(r["cnt"])
+            sums[j] += np.frombuffer(bytes(r["vsum"]), dtype=np.float64)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(cent)
+    return cent
+
+
 def ivf_assign(emb_df: DataFrame, centroids: np.ndarray,
                id_col: str = "vec_id",
                emb_col: str = "embedding") -> DataFrame:
@@ -270,16 +346,21 @@ def ivf_assign(emb_df: DataFrame, centroids: np.ndarray,
 
 def ivf_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
              k: int = 10, n_lists: int = 16, nprobe: int = 8,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             train: str = "sample") -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists,
     exact re-rank inside them.
 
     Scale shape: assignment is an embarrassingly parallel scan; the
     candidate fetch is an equi-join on list_id with the (tiny, broadcast)
     query->list table; re-rank touches only ~nprobe/n_lists of the corpus.
+    ``train="distributed"`` runs the Lloyd iterations over the full corpus
+    (see :func:`ivf_centroids_distributed`) for large n_lists.
     """
     spark = emb_df.sparkSession
-    cent = ivf_centroids(emb_df, n_lists=n_lists, id_col=id_col, emb_col=emb_col)
+    trainer = (ivf_centroids_distributed if train == "distributed"
+               else ivf_centroids)
+    cent = trainer(emb_df, n_lists=n_lists, id_col=id_col, emb_col=emb_col)
     lists = ivf_assign(emb_df, cent, id_col, emb_col)
     qmat = _normalize(np.array([q[1] for q in queries], dtype=np.float64))
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :nprobe]

@@ -182,7 +182,12 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(),
         f"qfs_ngram_ex_{spark.sparkContext.applicationId}")
-    (df.write.mode("overwrite").format("parquet")
+    # repartition by the bucket key at the bucket count: Spark's repartition
+    # and bucket-id hashing agree (murmur3 pmod n), so each task holds
+    # exactly one bucket -> n_buckets files total instead of
+    # n_tasks x n_buckets small files
+    (df.repartition(n_buckets, "hs")
+       .write.mode("overwrite").format("parquet")
        .bucketBy(n_buckets, "hs").sortBy("hs")
        .option("path", path).saveAsTable(_NGRAM_EX_TABLE))
     return spark.table(_NGRAM_EX_TABLE)

@@ -90,26 +90,71 @@ def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
                                     "spark.sql.session.timeZone": "UTC"})
 
 
-def _write_stream_chunks(df: DataFrame, src: str, preds: list,
-                         start: int = 0) -> None:
-    """Write one parquet chunk file per predicate into ``src`` with
-    ascending mtimes — the deterministic file-source replay setup for the
-    streaming gate queries, done entirely Spark-side (executors write each
-    chunk; the driver renames the part FILE, it never materializes rows —
-    a real deployment reads Kafka/files already in place).
+def _write_stream_chunks(df: DataFrame, src: str, chunk_col,
+                         n_chunks: int, start: int = 0) -> None:
+    """Write ``n_chunks`` parquet replay files into ``src`` with ascending
+    mtimes — the deterministic file-source replay setup for the streaming
+    gate queries — in ONE Spark job: tag each row with its chunk id,
+    shuffle by chunk (each chunk lands in exactly one task), write
+    ``partitionBy(chunk)``, then rename the per-chunk part files into
+    place. Executors write every row; the driver touches file NAMES only
+    (a real deployment reads Kafka/files already in place).
     """
     import glob
     import os
     import shutil
 
-    for i, pred in enumerate(preds, start=start):
-        tmp = os.path.join(src, f".tmp-{i}")
-        df.where(pred).coalesce(1).write.parquet(tmp)
-        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        dst = os.path.join(src, f"{i:02d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp, ignore_errors=True)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    tmp = os.path.join(src, ".tmp-write")
+    (fan_out(df).withColumn("__chunk", chunk_col)
+       .repartition(n_chunks, "__chunk")
+       .write.partitionBy("__chunk").parquet(tmp))
+    for i in range(n_chunks):
+        parts = glob.glob(os.path.join(tmp, f"__chunk={i}", "*.parquet"))
+        assert len(parts) == 1, f"chunk {i}: {len(parts)} files"
+        dst = os.path.join(src, f"{start + i:02d}.parquet")
+        shutil.move(parts[0], dst)
+        os.utime(dst, (1_700_000_000 + start + i, 1_700_000_000 + start + i))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_control_row(src: str, idx: int, ts_us: int, event_id: int) -> None:
+    """Write a one-row control/sentinel file (driver-side pyarrow: the row
+    is CONSTRUCTED, not read from any table — watermark plumbing only)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({"ts": pa.array([ts_us], pa.timestamp("us")),
+                    "event_id": pa.array([event_id], pa.int64())})
+    p = os.path.join(src, f"{idx:02d}.parquet")
+    pq.write_table(tbl, p)
+    os.utime(p, (1_700_000_000 + idx, 1_700_000_000 + idx))
+
+
+def table_column_range(sf_dir: str, name: str, col: str):
+    """(min, max) of a column from parquet FOOTER row-group statistics
+    only — no data scan (catalog statistics at warehouse scale)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = ([os.path.join(path, f) for f in os.listdir(path)
+              if f.endswith(".parquet")] if os.path.isdir(path) else [path])
+    lo = hi = None
+    for f in files:
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    st = c.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+    assert lo is not None, f"no footer statistics for {name}.{col}"
+    return lo, hi
 
 
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
@@ -860,7 +905,7 @@ def q_streaming_keyed(spark, sf_dir):
         _write_stream_chunks(
             ev.select("event_type", F.col("event_id").cast("long")
                       .alias("event_id")),
-            src, [F.pmod("event_id", F.lit(3)) == i for i in range(3)])
+            src, F.pmod("event_id", F.lit(3)).cast("int"), 3)
         stream = (spark.readStream.schema("event_type string, event_id long")
                   .option("maxFilesPerTrigger", 1).parquet(src)
                   .withColumn("h", F.xxhash64(F.col("event_id").cast("long"))))
@@ -890,8 +935,9 @@ def q_streaming_windowed(spark, sf_dir):
     driven deterministically (north_rule: windowed/keyed streaming state).
 
     The events table is re-played as a file-source stream in event-time
-    order (3 ascending time-range chunks + a far-future sentinel, all
-    written Spark-side — no driver materialization); tumbling 1-day windows
+    order: 3 ascending time-range chunks (boundaries from parquet FOOTER
+    statistics, one Spark write job, no driver materialization) plus a
+    far-future sentinel control row; tumbling 1-day windows
     are maintained as per-window RSQF state via ``applyInPandasWithState``
     (EventTimeTimeout). The sentinel pushes the watermark past every real
     window so each one finalizes exactly once. The finalized
@@ -916,23 +962,21 @@ def q_streaming_windowed(spark, sf_dir):
         os.makedirs(src)
         ts_ev = ev.select(F.col("ts").cast("timestamp").alias("ts"),
                           F.col("event_id").cast("long").alias("event_id"))
-        b = ts_ev.agg(F.min(F.unix_timestamp("ts")).alias("lo"),
-                      F.max(F.unix_timestamp("ts")).alias("hi")).collect()[0]
-        lo, hi = int(b["lo"]), int(b["hi"]) + 1
-        cuts = [lo + (hi - lo) * i // 3 for i in range(4)]
-        u = F.unix_timestamp("ts")
-        _write_stream_chunks(
-            ts_ev, src,
-            [(u >= cuts[i]) & (u < cuts[i + 1]) for i in range(3)])
-        sentinel = spark.sql(
-            "SELECT timestamp'2100-01-01 00:00:00' AS ts, "
-            "CAST(-1 AS LONG) AS event_id")
-        _write_stream_chunks(sentinel, src, [F.lit(True)], start=3)
+        # chunk boundaries from parquet footer statistics — no pre-scan
+        import calendar
 
-        def run(extra_file_df=None, start_idx=4):
-            if extra_file_df is not None:
-                _write_stream_chunks(extra_file_df, src, [F.lit(True)],
-                                     start=start_idx)
+        t_lo, t_hi = table_column_range(sf_dir, "events", "ts")
+        lo = int(calendar.timegm(t_lo.timetuple()))
+        hi = int(calendar.timegm(t_hi.timetuple())) + 1
+        u = F.unix_timestamp("ts")
+        chunk = F.least(F.lit(2), F.floor((u - F.lit(lo)) * 3
+                                          / F.lit(hi - lo))).cast("int")
+        _write_stream_chunks(ts_ev, src, chunk, 3)
+        _write_control_row(src, 3, 4102444800000000, -1)  # 2100-01-01 UTC
+
+        def run(extra_sentinel=None, start_idx=4):
+            if extra_sentinel is not None:
+                _write_control_row(src, start_idx, extra_sentinel, -2)
             stream = (spark.readStream
                       .schema("ts timestamp, event_id long")
                       .option("maxFilesPerTrigger", 1).parquet(src)
@@ -957,11 +1001,9 @@ def q_streaming_windowed(spark, sf_dir):
             return sorted(finals)
 
         first = run()
-        # restart from checkpoint: a second sentinel forces one real
-        # trigger; recovered state must re-finalize nothing
-        second = run(spark.sql(
-            "SELECT timestamp'2100-01-02 00:00:00' AS ts, "
-            "CAST(-2 AS LONG) AS event_id"))
+        # restart from checkpoint: a second sentinel (2100-01-02) forces
+        # one real trigger; recovered state must re-finalize nothing
+        second = run(extra_sentinel=4102531200000000)
         restart_clean = second == []
     return spark.createDataFrame(
         [(w, ni, bool(ni == sl and restart_clean)) for w, ni, sl in first],

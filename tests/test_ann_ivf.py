@@ -43,3 +43,40 @@ def test_ivf_topk_self_hit_and_recall(emb):
     assert rank1 == {q: q for q, _ in qs}
     # random data: expected recall ~ (1 + 9*nprobe/n_lists)/10 = 0.55
     assert len(exact & got) / len(exact) >= 0.3
+
+
+def test_distributed_training_matches_driver_on_sample(emb):
+    """Parity of the distributed Lloyd computation: when the input IS the
+    bounded init sample, distributed partial-sum iterations must reproduce
+    the driver-side trainer's centroids (same init, same updates)."""
+    from pyspark.sql import functions as F
+
+    sample = (emb.where(F.pmod(F.xxhash64(F.col("vec_id").cast("long")),
+                               F.lit(4)) == F.lit(0))
+              .orderBy("vec_id").limit(4096))
+    sample = sample.cache()
+    driver_cent = ann.ivf_centroids(sample, n_lists=8)
+    dist_cent = ann.ivf_centroids_distributed(sample, n_lists=8)
+    sample.unpersist()
+    assert np.allclose(driver_cent, dist_cent, rtol=0, atol=1e-12)
+
+
+def test_distributed_training_recall_at_4x_lists(emb):
+    """At 4x the default list count (where the bounded sample thins to
+    ~128 points/list), full-corpus distributed training must keep IVF
+    recall at least as good as the sample-trained quantizer."""
+    rows = emb.where("vec_id < 5").orderBy("vec_id").collect()
+    qs = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(emb, qs, k=10).collect()}
+
+    def recall(train):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ann.ivf_topk(emb, qs, k=10, n_lists=32, nprobe=16,
+                                     train=train).collect()}
+        return len(exact & got) / len(exact)
+
+    r_dist = recall("distributed")
+    # self-hits guaranteed + expected ~(1+9*nprobe/n_lists)/10 ~ 0.55
+    assert r_dist >= 0.3
+    assert r_dist >= recall("sample") - 0.1
