@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming
         "streaming_sketch": W.q_streaming_sketch,
         "streaming_keyed": W.q_streaming_keyed,
+        "streaming_retraction": W.q_streaming_retraction,
         "streaming_windowed": W.q_streaming_windowed,
     }
 
@@ -220,6 +221,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_keyed":
             "SELECT event_type, count(*) AS n_items, true AS len_matches "
             "FROM events GROUP BY event_type",
+        "streaming_retraction":
+            "SELECT event_type, "
+            "count(*) FILTER (WHERE event_id % 2 <> 0) AS n_items, "
+            "true AS len_matches FROM events GROUP BY event_type",
         "streaming_windowed":
             "SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS win_start, "
             "count(*) AS n_items, true AS window_ok FROM events GROUP BY 1",

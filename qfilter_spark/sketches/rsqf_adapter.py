@@ -53,6 +53,11 @@ class RsqfSketch:
         self.filter.insert_hashes(np.asarray(hashes, dtype=np.uint64),
                                   max_count=max_count)
 
+    def remove_hashes(self, hashes: np.ndarray) -> None:
+        """Retract one copy per hash (reference remove semantics
+        src/lib.rs:1056-1129) — the streaming retraction hook."""
+        self.filter.remove_hashes(np.asarray(hashes, dtype=np.uint64))
+
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         return self.filter.contains_hashes(hashes)
 

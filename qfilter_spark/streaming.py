@@ -33,7 +33,7 @@ from .dist.agg import SketchSpec, partial_sketches
 
 
 def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
-                        hash_col: str = "h"):
+                        hash_col: str = "h", op_col: str | None = None):
     """Per-key streaming sketches via ``applyInPandasWithState``.
 
     A custom stateful operator (the prompt's 'applyInPandasWithState for
@@ -41,12 +41,22 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
     sketch blob per key; every trigger folds the key's new rows in and
     emits (key, n_items, sketch_len). Output mode: Update.
 
+    With ``op_col`` set, the stream is a CHANGELOG: rows with op >= 0 are
+    insertions, rows with op < 0 are retractions — the reference filter's
+    incremental insert/remove pair (src/lib.rs:1056-1129) as streaming
+    state. Retractions require a sketch kind with ``remove_hashes``
+    (RSQF); within a micro-batch each row batch applies inserts before
+    removes, so an insert+retract of the same key in one batch nets out.
+
     Returns the transformed streaming DataFrame (caller starts the query).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     key_type = stream_df.schema[key_col].dataType.simpleString()
+    if op_col is not None and not hasattr(spec.make(), "remove_hashes"):
+        raise TypeError(f"sketch kind {spec.kind!r} does not support "
+                        "retraction (needs remove_hashes)")
 
     def fold(key, pdf_iter, state):
         if state.exists:
@@ -56,8 +66,17 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             sk, n_items = spec.make(), 0
         for pdf in pdf_iter:
             h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
-            sk.update_hashes(h)
-            n_items += int(h.size)
+            if op_col is None:
+                sk.update_hashes(h)
+                n_items += int(h.size)
+            else:
+                ops = pdf[op_col].to_numpy()
+                ins, rem = h[ops >= 0], h[ops < 0]
+                if ins.size:
+                    sk.update_hashes(ins)
+                if rem.size:
+                    sk.remove_hashes(rem)
+                n_items += int(ins.size) - int(rem.size)
         state.update((sk.to_bytes(), n_items))
         length = len(sk.filter) if hasattr(sk, "filter") else n_items
         yield pd.DataFrame({key_col: [key[0]], "n_items": [n_items],

@@ -930,6 +930,62 @@ def q_streaming_keyed(spark, sf_dir):
         "event_type string, n_items long, len_matches boolean")
 
 
+def q_streaming_retraction(spark, sf_dir):
+    """Changelog stream: per-key RSQF state driven by an insert/retract
+    op column (reference incremental insert/remove, src/lib.rs:1056-1129,
+    as ``applyInPandasWithState`` streaming state).
+
+    Batch 0 inserts every event; batch 1 retracts every even event_id.
+    The final per-key state must hold exactly the odd survivors — the
+    exact DuckDB oracle — and, event_ids being distinct, each key's
+    sketch length must equal its net count.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming import keyed_sketch_stream
+
+    ev = load(spark, sf_dir, "events")
+    n = table_rows(sf_dir, "events")
+    spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01),
+                      "hash_col", "h")
+    with tempfile.TemporaryDirectory() as d:
+        src, ckpt = os.path.join(d, "src"), os.path.join(d, "ckpt")
+        os.makedirs(src)
+        base = ev.select("event_type",
+                         F.col("event_id").cast("long").alias("event_id"))
+        inserts = base.withColumn("op", F.lit(1))
+        retracts = (base.where("event_id % 2 = 0")
+                    .withColumn("op", F.lit(-1)))
+        _write_stream_chunks(inserts, src, F.lit(0).cast("int"), 1)
+        _write_stream_chunks(retracts, src, F.lit(0).cast("int"), 1, start=1)
+        stream = (spark.readStream
+                  .schema("event_type string, event_id long, op int")
+                  .option("maxFilesPerTrigger", 1).parquet(src)
+                  .withColumn("h", F.xxhash64(F.col("event_id"))))
+        out = keyed_sketch_stream(stream, spec, key_col="event_type",
+                                  op_col="op")
+        name = f"retract_sketch_{uuid.uuid4().hex[:8]}"
+        with _few_shuffle_partitions(spark):
+            q = (out.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        rows = spark.sql(
+            f"SELECT event_type, min(n_items) AS n_items, "
+            f"min(sketch_len) AS sketch_len FROM {name} "
+            "GROUP BY event_type").collect()
+        spark.catalog.dropTempView(name)
+    return spark.createDataFrame(
+        [(r["event_type"], int(r["n_items"]),
+          bool(r["sketch_len"] == r["n_items"])) for r in rows],
+        "event_type string, n_items long, len_matches boolean")
+
+
 def q_streaming_windowed(spark, sf_dir):
     """Event-time windowed sketches with watermark-driven finalization,
     driven deterministically (north_rule: windowed/keyed streaming state).

@@ -33,6 +33,17 @@ def _spec(total_ngrams: int, fp_rate: float = 0.01):
                       mode="tokens_ngram", col="tokens", ngram_n=3)
 
 
+def _warm_workers(spark, df):
+    """Spawn every core's Python worker through the real kernels BEFORE the
+    timed region (a real cluster's executors are long-lived; worker spawn
+    is not steady-state throughput)."""
+    from qfilter_spark.dist.sharded import build_sharded_filter
+
+    n = spark.sparkContext.defaultParallelism
+    build_sharded_filter(df.limit(64 * n).repartition(n), _spec(4096),
+                         n_shards=4).count()
+
+
 def build(spark, corpus_path: str, out_table: str):
     from qfilter_spark.dist.sharded import build_sharded_filter
 
@@ -40,6 +51,7 @@ def build(spark, corpus_path: str, out_table: str):
     total = int(df.select(F.sum(F.greatest(F.col("n_tok") - F.lit(2), F.lit(0))))
                 .collect()[0][0])
     spec = _spec(total)
+    _warm_workers(spark, df)
     t0 = time.perf_counter()
     build_sharded_filter(df, spec, n_shards=N_SHARDS) \
         .write.mode("overwrite").parquet(out_table)
@@ -59,6 +71,7 @@ def probe(spark, corpus_path: str, filter_table: str):
     spec = _spec(meta["total_ngrams"], meta["fp_rate"])
     filter_df = spark.read.parquet(filter_table)
     df = spark.read.parquet(corpus_path)
+    _warm_workers(spark, df)
     t0 = time.perf_counter()
     stats = (probe_sharded_chunks(df, spec, filter_df, meta["n_shards"], spec)
              .groupBy().sum("n_probed", "n_contained").collect()[0])

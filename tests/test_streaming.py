@@ -102,6 +102,67 @@ def test_keyed_sketch_stream_applyinpandaswithstate(spark, tmp_path):
         assert n > 0 and length == n, (k, n, length)  # distinct values => len == n
 
 
+def test_keyed_sketch_stream_retraction(spark, tmp_path):
+    """Changelog stream: op >= 0 inserts, op < 0 retracts (reference
+    incremental insert/remove as streaming state). Deterministic file
+    source: batch 0 inserts 200 keys, batch 1 retracts the first 100;
+    final per-key state must hold exactly the net survivors."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from qfilter_spark.streaming import keyed_sketch_stream
+
+    src = tmp_path / "src_retract"
+    src.mkdir()
+
+    def rows(ids, op):
+        ids = np.array(list(ids), dtype=np.int64)
+        return pa.table({
+            "k": pa.array(ids % 2, pa.int64()),
+            "h": pa.array(xxh64_i64(ids).view(np.int64), pa.int64()),
+            "op": pa.array([op] * len(ids), pa.int32()),
+        })
+
+    for i, tbl in enumerate([rows(range(200), 1), rows(range(100), -1)]):
+        p = str(src / f"{i:02d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    spec = SketchSpec("rsqf", dict(capacity=1024, fp_rate=0.01),
+                      "hash_col", "h")
+    stream = (spark.readStream.schema("k long, h long, op int")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = keyed_sketch_stream(stream, spec, key_col="k", op_col="op")
+    q = (out.writeStream.format("memory").queryName("keyed_retract")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_retract"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows_out = spark.sql(
+        "SELECT k, min(n_items) AS n, min(sketch_len) AS l "
+        "FROM keyed_retract GROUP BY k").collect()
+    spark.catalog.dropTempView("keyed_retract")
+    got = {r["k"]: (r["n"], r["l"]) for r in rows_out}
+    # per key: 100 inserted, 50 retracted -> 50 survivors, len == net
+    assert got == {0: (50, 50), 1: (50, 50)}, got
+
+
+def test_keyed_stream_retraction_requires_removable_sketch(spark):
+    from qfilter_spark.streaming import keyed_sketch_stream
+
+    spec = SketchSpec("bloom", dict(capacity=64, fp_rate=0.01),
+                      "hash_col", "h")
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("value AS k", "value AS h", "1 AS op"))
+    with pytest.raises(TypeError, match="retraction"):
+        keyed_sketch_stream(stream, spec, key_col="k", op_col="op")
+
+
 @pytest.mark.slow
 def test_windowed_sketch_stream_finalizes_on_watermark(spark, tmp_path):
     from pyspark.sql import functions as F
