@@ -110,7 +110,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(50000 AS BIGINT) AS n_probes, true AS fpr_within_bound",
         "rsqf_counting":
             "SELECT count(DISTINCT o_custkey) AS n_keys, "
-            "count(DISTINCT o_custkey) AS n_est_ge_true FROM orders",
+            "count(DISTINCT o_custkey) AS n_est_ge_true, "
+            "true AS sharded_counts_match FROM orders",
         "rsqf_merge_invariance":
             "SELECT count(*) AS n_fps, true AS identical FROM lineitem",
         "rsqf_growth":
@@ -243,5 +244,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_media, "
             "CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
             "CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes, "
-            "count(*) AS n_features_ok FROM documents",
+            "count(*) AS n_features_ok, "
+            "count(*) AS n_resized_ok, "
+            "CAST(sum((octet_length(encode(text)) % 7 + 2) // 2) AS BIGINT) "
+            "AS n_frames_sampled FROM documents",
     }

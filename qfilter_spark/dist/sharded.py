@@ -213,6 +213,52 @@ def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
             .applyInArrow(probe_group, "shard int, n_probed long, n_contained long"))
 
 
+def count_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
+                  spec: SketchSpec):
+    """Per-key COUNT estimates through the sharded layout (reference
+    counting semantics src/lib.rs:1008-1018 applied at table scale).
+
+    Each probe row routes to its fingerprint-prefix shard — the same
+    single co-partitioned shuffle as :func:`probe_sharded` — and receives
+    the shard-local ``count_hashes`` estimate. Returns (h, est) keyed by
+    the probe hash; join back on ``h`` downstream. Counting multiplicity
+    lives entirely inside one shard (a fingerprint's copies share its
+    prefix), so sharded counts are exactly the single-filter counts.
+    """
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    k = shard_bits_for(n_shards)
+    _, _, fs = _fp_meta(spec)
+
+    probes = probe_df.select(
+        F.col(hash_col).alias("h"),
+        (F.shiftrightunsigned(
+            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
+            fs - k)).cast("int").alias("shard"))
+
+    def count_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        n = probes_tbl.num_rows
+        if n == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "est": pa.array([], pa.int64())})
+        h_raw = probes_tbl.column("h").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if filt_tbl.num_rows == 0:
+            est = np.zeros(n, dtype=np.int64)
+        else:
+            sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
+            est = np.asarray(
+                sk.count_hashes(h_raw.view(np.uint64) & _local_mask(fs, k)),
+                dtype=np.int64)
+        return pa.table({"h": pa.array(h_raw, pa.int64()),
+                         "est": pa.array(est, pa.int64())})
+
+    return (probes.groupBy("shard")
+            .cogroup(filter_df.groupBy("shard"))
+            .applyInArrow(count_group, "h long, est long"))
+
+
 def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
                          spec: SketchSpec):
     """Like :func:`probe_sharded` but shuffles sorted per-shard hash CHUNKS

@@ -84,6 +84,121 @@ def extract_features(df: DataFrame, media_col: str = "media",
     return seeded.mapInArrow(run, schema)
 
 
+RESIZE_NATIVE = 32  # fake decoder's native raster edge (px)
+
+
+def resize_media(df: DataFrame, media_col: str = "media", width: int = 8,
+                 height: int = 8, out_col: str = "resized") -> DataFrame:
+    """Deterministic-fake decode + REAL vectorized resize.
+
+    The "decode" is the module's stub (no codecs in sandbox): a constant
+    ``RESIZE_NATIVE``² RGB raster seeded from the JVM-side payload hash,
+    generated as batched XXH64 lanes — one (n, native²·3) tensor per Arrow
+    batch, no per-row Python. The resize itself is real codec-independent
+    math: nearest-neighbor index selection down to (height, width), then
+    re-encode as a raw RGB binary payload built zero-copy from the flat
+    buffer (offsets + data). This is the exact production shape a PIL/
+    libvips kernel would drop into — only the raster source is fake.
+    """
+    import pyarrow as pa
+
+    from ..hashing import xxh64_u64
+
+    n_lanes = RESIZE_NATIVE * RESIZE_NATIVE * 3 // 8
+    out_px = height * width * 3
+    seeded = df.withColumn("__seed", F.xxhash64(F.col(f"{media_col}.bytes")))
+    in_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    schema = f"{in_fields}, {out_col} binary"
+    idx_y = (np.arange(height) * RESIZE_NATIVE // height).astype(np.int64)
+    idx_x = (np.arange(width) * RESIZE_NATIVE // width).astype(np.int64)
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
+                     .astype(np.int64).view(np.uint64))
+            lanes = np.empty((n, n_lanes), dtype=np.uint64)
+            for j in range(n_lanes):  # lane-vectorized, no per-row Python
+                lanes[:, j] = xxh64_u64(seeds, np.uint64(101 + j))
+            raster = lanes.view(np.uint8).reshape(
+                n, RESIZE_NATIVE, RESIZE_NATIVE, 3)
+            small = raster[:, idx_y][:, :, idx_x]  # (n, h, w, 3) NN resize
+            flat = np.ascontiguousarray(small).reshape(n * out_px)
+            offsets = pa.array(
+                np.arange(0, (n + 1) * out_px, out_px, dtype=np.int32))
+            binary = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, offsets.buffers()[1], pa.py_buffer(flat.tobytes())])
+            keep = [k for k, nm in enumerate(batch.schema.names)
+                    if nm != "__seed"]
+            yield pa.record_batch(
+                [batch.column(k) for k in keep] + [binary],
+                names=[batch.schema.names[k] for k in keep] + [out_col])
+
+    return seeded.mapInArrow(run, schema)
+
+
+def sample_frames(df: DataFrame, media_col: str = "media", every: int = 2,
+                  id_cols: list[str] | None = None) -> DataFrame:
+    """Frame sampling over fake video containers: one output row per
+    sampled frame.
+
+    The "container header parse" is deterministic fake (no ffmpeg in
+    sandbox): ``n_frames = 1 + n_bytes % 7``, an exact function of payload
+    length, so the output cardinality has an exact SQL oracle. Every
+    ``every``-th frame is emitted with (frame_idx, 8-byte frame
+    fingerprint payload). The fan-out is vectorized (np.repeat index
+    take on the Arrow batch); a real demuxer kernel would replace only
+    the per-frame payload derivation.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..hashing import xxh64_u64
+
+    cols = id_cols or [f.name for f in df.schema.fields
+                       if f.name != media_col]
+    base = df.withColumn("__seed", F.xxhash64(F.col(f"{media_col}.bytes"))) \
+        .withColumn("__nb", F.col(f"{media_col}.n_bytes"))
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name in cols)
+    schema = f"{in_fields}, frame_idx int, frame binary"
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
+                     .astype(np.int64).view(np.uint64))
+            nb = batch.column("__nb").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            n_frames = 1 + (nb % 7)
+            n_samp = (n_frames + every - 1) // every
+            rep = np.repeat(np.arange(n, dtype=np.int64), n_samp)
+            # frame_idx within each row: 0, every, 2*every, ...
+            starts = np.concatenate([[0], np.cumsum(n_samp)[:-1]])
+            fi = (np.arange(rep.size, dtype=np.int64)
+                  - np.repeat(starts, n_samp)) * every
+            fp = xxh64_u64(seeds[rep] ^ fi.view(np.uint64))
+            m = rep.size
+            offsets = pa.array(np.arange(0, (m + 1) * 8, 8, dtype=np.int32))
+            frames = pa.Array.from_buffers(
+                pa.binary(), m,
+                [None, offsets.buffers()[1], pa.py_buffer(fp.tobytes())])
+            idx = pa.array(rep)
+            names = [nm for nm in batch.schema.names if nm in cols]
+            out_cols = [pc.take(batch.column(batch.schema.names.index(nm)),
+                                idx) for nm in names]
+            yield pa.record_batch(
+                out_cols + [pa.array(fi.astype(np.int32), pa.int32()), frames],
+                names=names + ["frame_idx", "frame"])
+
+    return base.mapInArrow(run, schema)
+
+
 def media_stats(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Aggregate payload stats (exact; SQL-oracle-checkable)."""
     return df.select(

@@ -195,16 +195,27 @@ def q_rsqf_fpr(spark, sf_dir):
 
 
 def q_rsqf_counting(spark, sf_dir):
-    """Counting semantics: estimate >= true multiplicity for every key."""
+    """Counting semantics: estimate >= true multiplicity for every key,
+    AND the sharded-table count path returns the single-filter estimates
+    exactly (a fingerprint's copies share its prefix, so multiplicity is
+    shard-local — dist/sharded.count_sharded)."""
+    from .dist.sharded import build_sharded_filter, count_sharded
+
     orders = _hashed(load(spark, sf_dir, "orders"), "o_custkey")
     n = table_rows(sf_dir, "orders")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.001), "hash_col", "h")
     blob = build_sketch(orders, spec, fan_in=8)
     truth = orders.groupBy("o_custkey", "h").agg(F.count("*").alias("true_cnt"))
     est = probe_hashes(truth, blob, "h", out_col="est")
-    return est.agg(
+    sharded = count_sharded(truth, "h",
+                            build_sharded_filter(orders, spec, n_shards=16),
+                            16, spec).withColumnRenamed("est", "est_sh")
+    both = est.join(sharded, "h")
+    return both.agg(
         F.count("*").alias("n_keys"),
-        F.sum((F.col("est") >= F.col("true_cnt")).cast("long")).alias("n_est_ge_true"))
+        F.sum((F.col("est") >= F.col("true_cnt")).cast("long")).alias("n_est_ge_true"),
+        (F.sum((F.col("est_sh") == F.col("est")).cast("long")) == F.count("*"))
+        .alias("sharded_counts_match"))
 
 
 def q_rsqf_merge_invariance(spark, sf_dir):
@@ -1150,12 +1161,24 @@ def q_dedup_embedding_cosine(spark, sf_dir):
 
 
 def q_multimodal_stats(spark, sf_dir):
+    """Multimodal plumbing end-to-end: attach -> features -> resize ->
+    frame-sample, all cardinalities/sizes mirrored exactly in SQL (the
+    fake decoders are deterministic functions of payload bytes/length, so
+    the Arrow plumbing is oracle-checkable even though real codecs are
+    stubbed)."""
     docs = load(spark, sf_dir, "documents")
     media = multimodal.attach_media(docs, "encode(text, 'utf-8')", "image")
     feats = multimodal.extract_features(media)
-    return feats.agg(
+    a = feats.agg(
         F.count("*").alias("n_media"),
         F.sum(F.col("media.n_bytes")).cast("long").alias("total_bytes"),
         F.max(F.col("media.n_bytes")).cast("long").alias("max_bytes"),
         F.sum((F.size("features") == multimodal.FEATURE_DIM).cast("long"))
         .alias("n_features_ok"))
+    mslim = media.select("doc_id", "media")
+    b = (multimodal.resize_media(mslim, width=8, height=8)
+         .agg(F.sum((F.octet_length("resized") == F.lit(8 * 8 * 3))
+                    .cast("long")).alias("n_resized_ok")))
+    c = (multimodal.sample_frames(mslim, every=2)
+         .agg(F.count("*").alias("n_frames_sampled")))
+    return a.crossJoin(b).crossJoin(c)

@@ -60,6 +60,29 @@ def test_sharded_probe_absent_fpr(spark, hashed_df):  # noqa: F811
     assert stats[1] / 20_000 <= sk_params.max_error_ratio()
 
 
+def test_count_sharded_matches_single_filter(spark, hashed_df):
+    """Per-key counts through the sharded layout == single-filter
+    count_hashes for every probe (multiplicity is shard-local)."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.dist.sharded import count_sharded
+
+    # duplicated keys so multiplicities > 1 are exercised
+    dup = hashed_df.select("h").union(
+        hashed_df.where(F.pmod(F.col("h"), F.lit(3)) == 0).select("h"))
+    spec = SketchSpec("rsqf", dict(capacity=8192, fp_rate=0.001),
+                      "hash_col", "h")
+    filter_df = build_sharded_filter(dup, spec, n_shards=8)
+    single = sketches.loads(build_sketch(dup, spec, fan_in=8))
+    probes = hashed_df.select("h").distinct()
+    got = {r["h"]: r["est"]
+           for r in count_sharded(probes, "h", filter_df, 8, spec).collect()}
+    hs = np.array(sorted(got), dtype=np.int64).view(np.uint64)
+    want = single.count_hashes(hs)
+    assert [got[int(np.int64(h))] for h in hs] == [int(w) for w in want]
+    assert any(v >= 2 for v in got.values())  # duplicates really counted
+
+
 def test_probe_sharded_chunks_matches_row_probe(spark, hashed_df):
     from qfilter_spark.dist.sharded import probe_sharded_chunks
     filter_df = build_sharded_filter(hashed_df, SPEC, n_shards=8)
