@@ -171,6 +171,19 @@ def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64,
     return chunks_df.groupBy("shard").applyInPandas(merge_shard, SHARDED_SCHEMA)
 
 
+def _route_by_shard(df, hash_col: str, fs: int, k: int):
+    """(h, shard) projection: the JVM-side fingerprint-prefix shard router,
+    shared by probe/count/remove so all three stay in lockstep with the
+    build's shard function."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col(hash_col).alias("h"),
+        (F.shiftrightunsigned(
+            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
+            fs - k)).cast("int").alias("shard"))
+
+
 def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
                   spec: SketchSpec):
     """Membership/count stats per shard via a co-partitioned group join.
@@ -185,11 +198,7 @@ def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
     k = shard_bits_for(n_shards)
     _, _, fs = _fp_meta(spec)
 
-    probes = probe_df.select(
-        F.col(hash_col).alias("h"),
-        (F.shiftrightunsigned(
-            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
-            fs - k)).cast("int").alias("shard"))
+    probes = _route_by_shard(probe_df, hash_col, fs, k)
 
     def probe_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
         n = probes_tbl.num_rows
@@ -231,11 +240,7 @@ def count_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
     k = shard_bits_for(n_shards)
     _, _, fs = _fp_meta(spec)
 
-    probes = probe_df.select(
-        F.col(hash_col).alias("h"),
-        (F.shiftrightunsigned(
-            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
-            fs - k)).cast("int").alias("shard"))
+    probes = _route_by_shard(probe_df, hash_col, fs, k)
 
     def count_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
         n = probes_tbl.num_rows
@@ -401,11 +406,7 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
     qbits, rbits, fs = _fp_meta(spec)
     keep = getattr(spec.make(), "keep_duplicates", True)
 
-    removals = removals_df.select(
-        F.col(hash_col).alias("h"),
-        (F.shiftrightunsigned(
-            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
-            fs - k)).cast("int").alias("shard"))
+    removals = _route_by_shard(removals_df, hash_col, fs, k)
 
     def apply_removals(key, rem_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
         if filt_tbl.num_rows == 0:

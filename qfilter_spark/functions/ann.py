@@ -214,6 +214,24 @@ def lsh_topk(emb_df: DataFrame, queries: list[tuple[int, list[float]]],
 # IVF (inverted-file) index: the coarse-quantizer scale path
 # ---------------------------------------------------------------------------
 
+def _init_centroids(emb_df: DataFrame, n_lists: int, sample_cap: int,
+                    id_col: str, emb_col: str):
+    """Shared deterministic init for both IVF trainers: bounded
+    hash-selected id-ordered sample + seeded centroid choice. Keeping this
+    in ONE place is what guarantees driver-vs-distributed trainer parity
+    (tested) — edit here, not in the trainers."""
+    from pyspark.sql import functions as SF
+
+    rows = (emb_df.select(id_col, emb_col)
+            .where(SF.pmod(SF.xxhash64(SF.col(id_col).cast("long")), SF.lit(4))
+                   == SF.lit(0))
+            .orderBy(id_col).limit(sample_cap).collect())
+    m = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
+    rng = np.random.default_rng(LSH_SEED)
+    cent = m[rng.choice(m.shape[0], min(n_lists, m.shape[0]), replace=False)]
+    return m, cent
+
+
 def ivf_centroids(emb_df: DataFrame, n_lists: int = 16, n_iters: int = 4,
                   sample_cap: int = 4096, id_col: str = "vec_id",
                   emb_col: str = "embedding") -> np.ndarray:
@@ -225,15 +243,7 @@ def ivf_centroids(emb_df: DataFrame, n_lists: int = 16, n_iters: int = 4,
     data-scale work, and that is distributed. Centroids are unit-norm
     (spherical k-means == cosine objective). Fully seeded/deterministic.
     """
-    from pyspark.sql import functions as SF
-
-    rows = (emb_df.select(id_col, emb_col)
-            .where(SF.pmod(SF.xxhash64(SF.col(id_col).cast("long")), SF.lit(4))
-                   == SF.lit(0))
-            .orderBy(id_col).limit(sample_cap).collect())
-    m = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
-    rng = np.random.default_rng(LSH_SEED)
-    cent = m[rng.choice(m.shape[0], min(n_lists, m.shape[0]), replace=False)]
+    m, cent = _init_centroids(emb_df, n_lists, sample_cap, id_col, emb_col)
     for _ in range(n_iters):
         assign = np.argmax(m @ cent.T, axis=1)
         for j in range(cent.shape[0]):
@@ -270,17 +280,10 @@ def ivf_centroids_distributed(emb_df: DataFrame, n_lists: int = 16,
     import pyarrow as pa
 
     spark = emb_df.sparkSession
-    # deterministic seeded init from the bounded sample (same recipe as
-    # the driver-side trainer, iterations moved to the cluster)
-    from pyspark.sql import functions as SF
-
-    rows = (emb_df.select(id_col, emb_col)
-            .where(SF.pmod(SF.xxhash64(SF.col(id_col).cast("long")), SF.lit(4))
-                   == SF.lit(0))
-            .orderBy(id_col).limit(init_sample_cap).collect())
-    m = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
-    rng = np.random.default_rng(LSH_SEED)
-    cent = m[rng.choice(m.shape[0], min(n_lists, m.shape[0]), replace=False)]
+    # deterministic seeded init from the bounded sample (shared with the
+    # driver-side trainer — parity depends on it)
+    _, cent = _init_centroids(emb_df, n_lists, init_sample_cap,
+                              id_col, emb_col)
     dim = cent.shape[1]
     data = emb_df.select(emb_col)
 

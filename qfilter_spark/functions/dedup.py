@@ -163,7 +163,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return verified.where(F.col("jacc_millis") >= threshold_millis)
 
 
-_NGRAM_EX_TABLE = "qfs_ngram_ex"
+_NGRAM_EX_PREFIX = "qfs_ngram_ex"
+_ngram_ex_last: dict[str, tuple[str, str]] = {}  # appId -> (table, path)
 
 
 def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
@@ -173,24 +174,45 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
     written ONCE (hash-bucketed by ``hs``), every downstream consumer —
     the rare-pair self-join, the per-doc stats, the hot intersection —
     scans it co-partitioned with no exchange on ``hs`` and no session-long
-    cache pin (the round-2 MEMORY_AND_DISK persist leaked across
-    invocations; the table is simply overwritten by the next call).
+    cache pin. Each invocation gets its OWN table+path; the previous
+    invocation's table is dropped and its files deleted, so a stale result
+    DataFrame fails fast (FileNotFound) instead of silently reading the
+    wrong corpus. CALLER CONTRACT: consume the returned plan before the
+    next ngram_jaccard_pairs call in the same session. Stale directories
+    from dead sessions (>1 day old) are swept on first use.
     """
     import os
+    import shutil
     import tempfile
+    import time
+    import uuid
 
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"qfs_ngram_ex_{spark.sparkContext.applicationId}")
+    tmp = tempfile.gettempdir()
+    app = spark.sparkContext.applicationId
+    if app not in _ngram_ex_last:  # first use this session: sweep the dead
+        cutoff = time.time() - 86_400
+        for d in os.listdir(tmp):
+            p = os.path.join(tmp, d)
+            if (d.startswith(_NGRAM_EX_PREFIX) and app not in d
+                    and os.path.isdir(p) and os.path.getmtime(p) < cutoff):
+                shutil.rmtree(p, ignore_errors=True)
+    else:
+        old_table, old_path = _ngram_ex_last[app]
+        spark.sql(f"DROP TABLE IF EXISTS {old_table}")
+        shutil.rmtree(old_path, ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+    table = f"{_NGRAM_EX_PREFIX}_{tag}"
+    path = os.path.join(tmp, f"{_NGRAM_EX_PREFIX}_{app}_{tag}")
     # repartition by the bucket key at the bucket count: Spark's repartition
     # and bucket-id hashing agree (murmur3 pmod n), so each task holds
     # exactly one bucket -> n_buckets files total instead of
     # n_tasks x n_buckets small files
     (df.repartition(n_buckets, "hs")
-       .write.mode("overwrite").format("parquet")
+       .write.format("parquet")
        .bucketBy(n_buckets, "hs").sortBy("hs")
-       .option("path", path).saveAsTable(_NGRAM_EX_TABLE))
-    return spark.table(_NGRAM_EX_TABLE)
+       .option("path", path).saveAsTable(table))
+    _ngram_ex_last[app] = (table, path)
+    return spark.table(table)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

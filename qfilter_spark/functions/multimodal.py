@@ -116,6 +116,11 @@ def resize_media(df: DataFrame, media_col: str = "media", width: int = 8,
     def run(batches):
         for batch in batches:
             n = batch.num_rows
+            if (n + 1) * out_px >= 1 << 31:
+                raise ValueError(
+                    "Arrow batch too large for int32 binary offsets at "
+                    f"{out_px} output bytes/row — lower "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch")
             seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
                      .astype(np.int64).view(np.uint64))
             lanes = np.empty((n, n_lanes), dtype=np.uint64)

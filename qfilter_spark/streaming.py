@@ -32,6 +32,30 @@ from . import sketches
 from .dist.agg import SketchSpec, partial_sketches
 
 
+def apply_changelog(sk, h: np.ndarray, is_ins: np.ndarray,
+                    n_items: int) -> int:
+    """Apply one ordered changelog slice to a sketch, respecting row order
+    as maximal consecutive same-op runs (vectorized per run). Returns the
+    updated n_items — tracked from the sketch's ACTUAL size delta, so a
+    clamped retraction of an absent key (reference remove semantics) does
+    not drift the counter."""
+    if h.size == 0:
+        return n_items
+    cuts = np.flatnonzero(np.diff(is_ins.view(np.int8))) + 1
+    for seg, seg_ins in zip(np.split(h, cuts),
+                            is_ins[np.concatenate([[0], cuts])]):
+        if not seg.size:
+            continue
+        if seg_ins:
+            sk.update_hashes(seg)
+            n_items += int(seg.size)
+        else:
+            before = len(sk.filter)
+            sk.remove_hashes(seg)
+            n_items -= before - len(sk.filter)
+    return n_items
+
+
 def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
                         hash_col: str = "h", op_col: str | None = None):
     """Per-key streaming sketches via ``applyInPandasWithState``.
@@ -45,8 +69,12 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
     insertions, rows with op < 0 are retractions — the reference filter's
     incremental insert/remove pair (src/lib.rs:1056-1129) as streaming
     state. Retractions require a sketch kind with ``remove_hashes``
-    (RSQF); within a micro-batch each row batch applies inserts before
-    removes, so an insert+retract of the same key in one batch nets out.
+    (RSQF). Changelog ROW ORDER is respected: ops apply as maximal
+    consecutive same-op runs (vectorized per run), so a retract-then-
+    reinsert of the same key inside one batch lands inserted, and an
+    insert-then-retract nets out. ``n_items`` tracks the sketch's ACTUAL
+    multiset size (retracting an absent key is a clamped no-op, exactly
+    as in the reference, and does not drift the counter).
 
     Returns the transformed streaming DataFrame (caller starts the query).
     """
@@ -66,17 +94,14 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             sk, n_items = spec.make(), 0
         for pdf in pdf_iter:
             h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
             if op_col is None:
                 sk.update_hashes(h)
                 n_items += int(h.size)
             else:
-                ops = pdf[op_col].to_numpy()
-                ins, rem = h[ops >= 0], h[ops < 0]
-                if ins.size:
-                    sk.update_hashes(ins)
-                if rem.size:
-                    sk.remove_hashes(rem)
-                n_items += int(ins.size) - int(rem.size)
+                n_items = apply_changelog(
+                    sk, h, pdf[op_col].to_numpy() >= 0, n_items)
         state.update((sk.to_bytes(), n_items))
         length = len(sk.filter) if hasattr(sk, "filter") else n_items
         yield pd.DataFrame({key_col: [key[0]], "n_items": [n_items],

@@ -105,11 +105,13 @@ def _write_stream_chunks(df: DataFrame, src: str, chunk_col,
     import shutil
 
     tmp = os.path.join(src, ".tmp-write")
-    (fan_out(df).withColumn("__chunk", chunk_col)
+    (df.withColumn("__chunk", chunk_col)
        .repartition(n_chunks, "__chunk")
        .write.partitionBy("__chunk").parquet(tmp))
     for i in range(n_chunks):
         parts = glob.glob(os.path.join(tmp, f"__chunk={i}", "*.parquet"))
+        if not parts:  # an empty chunk writes no dir: skip its file (the
+            continue   # replay just has one fewer trigger)
         assert len(parts) == 1, f"chunk {i}: {len(parts)} files"
         dst = os.path.join(src, f"{start + i:02d}.parquet")
         shutil.move(parts[0], dst)
@@ -1155,6 +1157,12 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     """
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.select("embedding").first()["embedding"])
+    # the DuckDB oracle embeds planted_near_dup_vectors() at the DEFAULT
+    # dim (oracle_sql() has no table context); both sides only agree while
+    # the corpus dim matches it — fail loudly rather than diverge
+    assert dim == 64, (
+        f"embeddings dim {dim} != 64: regenerate the oracle VALUES in "
+        "__spark_entry__._planted_emb_values_sql for the new dim")
     planted = spark.createDataFrame(planted_near_dup_vectors(dim),
                                     "vec_id long, embedding array<float>")
     return ann.cosine_near_pairs(emb.union(planted), threshold=0.95, dim=dim)

@@ -152,6 +152,27 @@ def test_keyed_sketch_stream_retraction(spark, tmp_path):
     assert got == {0: (50, 50), 1: (50, 50)}, got
 
 
+def test_apply_changelog_respects_row_order_and_clamps():
+    """Kernel semantics: retract-then-reinsert in one slice lands present;
+    insert-then-retract nets out; retracting an absent key is a clamped
+    no-op that does not drift n_items."""
+    from qfilter_spark.streaming import apply_changelog
+
+    sk = sketches.create("rsqf", capacity=64, fp_rate=0.01)
+    h1, h2, h3 = (np.uint64(xxh64_i64(np.array([i], dtype=np.int64))[0])
+                  for i in (1, 2, 3))
+    # rows: (h1,-) (h1,+) (h2,+) (h2,-) (h3,-)
+    h = np.array([h1, h1, h2, h2, h3], dtype=np.uint64)
+    is_ins = np.array([False, True, True, False, False])
+    n = apply_changelog(sk, h, is_ins, 0)
+    assert n == 1 == len(sk.filter)
+    assert bool(sk.contains_hashes(np.array([h1], dtype=np.uint64))[0])
+    assert not bool(sk.contains_hashes(np.array([h2], dtype=np.uint64))[0])
+    # empty slice is a no-op
+    assert apply_changelog(sk, np.empty(0, np.uint64),
+                           np.empty(0, bool), n) == 1
+
+
 def test_keyed_stream_retraction_requires_removable_sketch(spark):
     from qfilter_spark.streaming import keyed_sketch_stream
 
