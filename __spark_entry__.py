@@ -216,7 +216,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall":
             "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
         "ann_ivf_recall":
-            "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok",
+            "SELECT CAST(10 AS BIGINT) AS n_queries, true AS recall_ok, "
+            "true AS dist_recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",
         "streaming_keyed":
