@@ -85,6 +85,31 @@ def main():
           ("SortMergeJoin" in plan4) or ("ShuffledHashJoin" in plan4)
           or ("BroadcastHashJoin" in plan4))
 
+    # 5. ngram-jaccard intermediate: bucketed scan with pushed freq filter
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup.ngram_jaccard_pairs(docs)  # materializes the bucketed table
+    from qfilter_spark.functions.dedup import _ngram_ex_last
+    table = _ngram_ex_last[spark.sparkContext.applicationId][0]
+    rare = spark.table(table).where(F.col("freq") <= 500) \
+        .select("doc_id", "hs")
+    j = rare.alias("a").join(rare.alias("b"), "hs")
+    # at bench scale the planner picks a broadcast join and rightly skips
+    # bucketing; force the at-scale (non-broadcast) shape to assert the
+    # bucketed join really eliminates the exchange
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan5 = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    print(plan5, file=sys.stderr)
+    check("ngram intermediate self-join is bucketed (no exchange) with "
+          "pushed freq filter",
+          "Bucketed: true" in plan5
+          and "LessThanOrEqual(freq,500)" in plan5
+          and "Exchange" not in plan5)
+
     spark.stop()
     print(f"{failures} failures")
     sys.exit(1 if failures else 0)

@@ -173,6 +173,41 @@ def test_apply_changelog_respects_row_order_and_clamps():
                            np.empty(0, bool), n) == 1
 
 
+def test_apply_changelog_property_vs_multiset_model():
+    """Random op sequences vs a plain Counter model: the sketch's multiset
+    and n_items must track the model exactly (retraction of an absent key
+    clamps; everything else is ordered multiset add/remove)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from qfilter_spark.streaming import apply_changelog
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 7), st.booleans()),
+                    min_size=0, max_size=60))
+    def run(ops):
+        sk = sketches.create("rsqf", capacity=256, fp_rate=0.001)
+        hs = xxh64_i64(np.arange(8, dtype=np.int64)).view(np.uint64)
+        model: Counter = Counter()
+        for key, ins in ops:
+            if ins:
+                model[int(hs[key])] += 1
+            elif model[int(hs[key])] > 0:
+                model[int(hs[key])] -= 1
+        h = np.array([hs[k] for k, _ in ops], dtype=np.uint64)
+        is_ins = np.array([i for _, i in ops], dtype=bool)
+        n = apply_changelog(sk, h, is_ins, 0)
+        want_total = sum(model.values())
+        assert n == want_total == len(sk.filter)
+        counts = sk.count_hashes(hs)
+        for k in range(8):
+            assert int(counts[k]) == model[int(hs[k])]
+
+    run()
+
+
 def test_keyed_stream_retraction_requires_removable_sketch(spark):
     from qfilter_spark.streaming import keyed_sketch_stream
 
