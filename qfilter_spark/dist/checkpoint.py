@@ -33,10 +33,13 @@ class MergeLineage:
             return []
         rounds = []
         for name in os.listdir(self.dir):
-            if name.startswith("round="):
-                rnd = int(name.split("=", 1)[1])
-                if os.path.exists(os.path.join(self.dir, name, "_SUCCESS")):
-                    rounds.append(rnd)
+            if not name.startswith("round="):
+                continue
+            suffix = name.split("=", 1)[1]
+            if not suffix.isdigit():  # stray dirs (backups, copy-tool
+                continue              # artifacts) must not break resume
+            if os.path.exists(os.path.join(self.dir, name, "_SUCCESS")):
+                rounds.append(int(suffix))
         return sorted(rounds)
 
     def last_complete_round(self) -> int | None:

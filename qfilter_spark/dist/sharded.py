@@ -113,45 +113,14 @@ def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64,
     memory stays bounded no matter the input partition size (SURVEY.md §7
     "Python-side memory" risk item).
     """
-    import pyarrow as pa
-    from pyspark.sql import functions as F
-
     k = shard_bits_for(n_shards)
     qbits, rbits, fs = _fp_meta(spec)
     assert k <= qbits, "shard prefix must fit in the quotient"
-    shift = np.uint64(fs - k)
-    mask = np.uint64((1 << fs) - 1) if fs < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    def flush(buf: list) -> "pa.RecordBatch":
-        fps = np.concatenate(buf)
-        fps.sort(kind="stable")
-        bounds = np.searchsorted(
-            fps, np.arange(1, n_shards, dtype=np.uint64) << shift, side="left")
-        chunks = np.split(fps, bounds)
-        shards = [s for s in range(n_shards) if chunks[s].size]
-        return pa.record_batch([
-            pa.array(shards, pa.int32()),
-            pa.array([int(chunks[s].size) for s in shards], pa.int64()),
-            pa.array([_pack_chunk(chunks[s], s, fs - k) for s in shards],
-                     pa.binary()),
-        ], names=["shard", "n_fps", "payload"])
-
-    def emit_chunks(batches):
-        buf: list[np.ndarray] = []
-        buffered = 0
-        for batch in batches:
-            if batch.num_rows:
-                data = spec.extract(batch)
-                if data.size:
-                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
-                    buffered += data.size
-            if buffered >= max_buffer:
-                yield flush(buf)
-                buf, buffered = [], 0
-        if buf:
-            yield flush(buf)
-
-    chunks_df = df.select(spec.col).mapInArrow(emit_chunks, SHARDED_SCHEMA)
+    # the same spill-aware chunk emitter the split build and incremental
+    # insert use (one copy of the flush/boundary logic)
+    chunks_df = _emit_chunk_rows(df, spec, n_shards, fs, max_buffer,
+                                 with_samples=False)
 
     import pandas as pd
 
@@ -174,14 +143,15 @@ def build_sharded_filter(df, spec: SketchSpec, n_shards: int = 64,
 def _route_by_shard(df, hash_col: str, fs: int, k: int):
     """(h, shard) projection: the JVM-side fingerprint-prefix shard router,
     shared by probe/count/remove so all three stay in lockstep with the
-    build's shard function."""
+    build's shard function. Guards the JVM's shift-mod-64: at k=0 with a
+    64-bit fingerprint, ``h >>> 64`` would return h, not 0."""
     from pyspark.sql import functions as F
 
-    return df.select(
-        F.col(hash_col).alias("h"),
-        (F.shiftrightunsigned(
-            F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
-            fs - k)).cast("int").alias("shard"))
+    shard = (F.lit(0) if fs - k >= 64 else F.shiftrightunsigned(
+        F.col(hash_col).bitwiseAND(F.lit((1 << fs) - 1 if fs < 64 else -1)),
+        fs - k))
+    return df.select(F.col(hash_col).alias("h"),
+                     shard.cast("int").alias("shard"))
 
 
 def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
@@ -264,8 +234,30 @@ def count_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
             .applyInArrow(count_group, "h long, est long"))
 
 
+def _probe_chunks_against(filt_tbl, qs: list, fs: int, k: int) -> tuple[int, int]:
+    """(n_probed, n_contained) of sorted probe chunks vs a (possibly
+    absent) filter row — the ONE sorted-chunk probe kernel shared by the
+    unsplit and split probe paths.
+
+    table.size guard: a shard drained to empty by remove_sharded still has
+    a row, and min(lo, -1) would index into nothing.
+    """
+    n = sum(int(q.size) for q in qs)
+    hit = 0
+    if filt_tbl.num_rows:
+        sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
+        table = sk.filter._fps
+        lm = _local_mask(fs, k)
+        for q in qs if table.size else ():  # chunks sorted: locality-optimal
+            q = q & lm  # shard-local coordinates (stays sorted)
+            lo = np.searchsorted(table, q, side="left")
+            hit += int(((lo < table.size)
+                        & (table[np.minimum(lo, table.size - 1)] == q)).sum())
+    return n, hit
+
+
 def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
-                         spec: SketchSpec):
+                         spec: SketchSpec, max_buffer: int = 16_000_000):
     """Like :func:`probe_sharded` but shuffles sorted per-shard hash CHUNKS
     instead of individual probe rows.
 
@@ -275,6 +267,8 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
     payloads instead of billions of scalar rows. Each shard task then probes
     sorted-queries-against-sorted-table, the cache-optimal case. At 100 TB
     this turns the probe shuffle from O(rows) record overhead into O(bytes).
+    Per-task probe buffers flush every ``max_buffer`` hashes (same bounded
+    discipline as the build; the shard task sums over multiple chunk rows).
 
     ``spec_in`` describes how to extract probe hashes from ``df`` (same modes
     as the build spec). Returns (shard, n_probed, n_contained).
@@ -283,32 +277,9 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
 
     k = shard_bits_for(n_shards)
     qbits, rbits, fs = _fp_meta(spec)
-    shift = np.uint64(fs - k)
-    mask = np.uint64((1 << fs) - 1) if fs < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
 
-    def emit_probe_chunks(batches):
-        buf: list[np.ndarray] = []
-        for batch in batches:
-            if batch.num_rows:
-                data = spec_in.extract(batch)
-                if data.size:
-                    buf.append(np.asarray(data, dtype=np.uint64) & mask)
-        if not buf:
-            return
-        fps = np.concatenate(buf)
-        fps.sort(kind="stable")
-        bounds = np.searchsorted(
-            fps, np.arange(1, n_shards, dtype=np.uint64) << shift, side="left")
-        chunks = np.split(fps, bounds)
-        shards = [s for s in range(n_shards) if chunks[s].size]
-        yield pa.record_batch([
-            pa.array(shards, pa.int32()),
-            pa.array([int(chunks[s].size) for s in shards], pa.int64()),
-            pa.array([_pack_chunk(chunks[s], s, fs - k) for s in shards],
-                     pa.binary()),
-        ], names=["shard", "n_fps", "payload"])
-
-    probe_chunks = df.select(spec_in.col).mapInArrow(emit_probe_chunks, SHARDED_SCHEMA)
+    probe_chunks = _emit_chunk_rows(df, spec_in, n_shards, fs, max_buffer,
+                                    with_samples=False)
 
     def probe_group(key, probes_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
         if probes_tbl.num_rows == 0:
@@ -318,20 +289,8 @@ def probe_sharded_chunks(df, spec_in: SketchSpec, filter_df, n_shards: int,
         shard = key[0].as_py()
         qs = [_unpack_chunk(p.as_py(), shard, fs - k)
               for p in probes_tbl.column("payload")]
-        n = sum(int(q.size) for q in qs)
-        hit = 0
-        if filt_tbl.num_rows:
-            sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
-            table = sk.filter._fps
-            lm = _local_mask(fs, k)
-            # table.size guard: a shard drained to empty by remove_sharded
-            # still has a row, and min(lo, -1) would index into nothing
-            for q in qs if table.size else ():  # chunks sorted: locality-optimal
-                q = q & lm  # shard-local coordinates (stays sorted)
-                lo = np.searchsorted(table, q, side="left")
-                hit += int(((lo < table.size)
-                            & (table[np.minimum(lo, table.size - 1)] == q)).sum())
-        return pa.table({"shard": pa.array([key[0].as_py()], pa.int32()),
+        n, hit = _probe_chunks_against(filt_tbl, qs, fs, k)
+        return pa.table({"shard": pa.array([shard], pa.int32()),
                          "n_probed": pa.array([n], pa.int64()),
                          "n_contained": pa.array([hit], pa.int64())})
 
@@ -465,7 +424,11 @@ class ShardDirectory:
         self.starts = np.asarray(starts, dtype=np.uint64)
         self.fs = fs
         self.k = k
-        self.shards = (self.starts >> np.uint64(fs - k)).astype(np.int64)
+        # k=0 with fs=64 would shift by 64 (undefined); every entry is
+        # shard 0 in that degenerate single-shard case
+        self.shards = ((self.starts >> np.uint64(fs - k)).astype(np.int64)
+                       if fs - k < 64
+                       else np.zeros(self.starts.size, dtype=np.int64))
 
     def route(self, fps: np.ndarray) -> np.ndarray:
         """Row key (directory index) for each global fingerprint."""
@@ -630,7 +593,14 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
         return pd.DataFrame({"key": [int(key[0])], "shard": [shard],
                              "n_fps": [int(fps.size)], "payload": [blob]})
 
-    out = keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA)
+    # materialize the merged table NOW so the corpus-scale chunk cache can
+    # be released inside this call (round-2 leaked it for the app
+    # lifetime); the returned table is persisted — callers unpersist it
+    # when done (at warehouse scale you would write.parquet it instead)
+    out = (keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA)
+           .persist(StorageLevel.MEMORY_AND_DISK))
+    out.count()
+    chunks_df.unpersist()
     return out, directory
 
 
@@ -699,17 +669,7 @@ def probe_sharded_split(df, spec_in: SketchSpec, filter_df,
         shard = int(probes_tbl.column("shard")[0].as_py())
         qs = [_unpack_chunk(p.as_py(), shard, fs - k)
               for p in probes_tbl.column("payload")]
-        n = sum(int(q.size) for q in qs)
-        hit = 0
-        if filt_tbl.num_rows:
-            sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
-            table = sk.filter._fps
-            lm = _local_mask(fs, k)
-            for q in qs if table.size else ():
-                q = q & lm
-                lo = np.searchsorted(table, q, side="left")
-                hit += int(((lo < table.size)
-                            & (table[np.minimum(lo, table.size - 1)] == q)).sum())
+        n, hit = _probe_chunks_against(filt_tbl, qs, fs, k)
         return pa.table({"key": pa.array([key[0].as_py()], pa.int32()),
                          "n_probed": pa.array([n], pa.int64()),
                          "n_contained": pa.array([hit], pa.int64())})

@@ -46,13 +46,15 @@ def apply_changelog(sk, h: np.ndarray, is_ins: np.ndarray,
                             is_ins[np.concatenate([[0], cuts])]):
         if not seg.size:
             continue
+        # both directions tracked from the sketch's ACTUAL size delta:
+        # set-semantics specs (keep_duplicates=False) dedup inserts, and
+        # retractions of absent keys clamp — neither may drift the counter
+        before = len(sk.filter)
         if seg_ins:
             sk.update_hashes(seg)
-            n_items += int(seg.size)
         else:
-            before = len(sk.filter)
             sk.remove_hashes(seg)
-            n_items -= before - len(sk.filter)
+        n_items += len(sk.filter) - before
     return n_items
 
 
@@ -210,8 +212,10 @@ class StreamingSketch:
             return None, {"batch_id": -1, "n_items": 0}, -1
         g = gens[-1]
         d = os.path.join(self.state_dir, f"gen={g}")
-        meta = json.load(open(os.path.join(d, "meta.json")))
-        blob = open(os.path.join(d, "sketch.bin"), "rb").read()
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(d, "sketch.bin"), "rb") as f:
+            blob = f.read()
         return sketches.loads(blob), meta, g
 
     def _write_gen(self, gen: int, sk, meta: dict) -> None:

@@ -502,7 +502,7 @@ def q_rsqf_sharded_skew(spark, sf_dir):
     cap = max(64, n // 3)
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
                                                  max_fps_per_row=cap)
-    filt = filt.cache()
+    # (the split build returns the table already persisted)
     shape = filt.agg(F.max("n_fps").alias("mx"),
                      F.count("*").alias("rows")).collect()[0]
     single = sketches.loads(build_sketch(df, spec, fan_in=8))
@@ -557,6 +557,7 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
     after = remove_sharded_split(filt, removals, spec, directory, spec).cache()
     bytes_before = after.agg(F.sum(F.length("payload")).alias("b")) \
         .collect()[0]["b"]
+    filt.unpersist()  # the split build returns its table persisted
     shrunk = shrink_sharded(after).cache()
     bytes_after = shrunk.agg(F.sum(F.length("payload")).alias("b")) \
         .collect()[0]["b"]
