@@ -226,6 +226,10 @@ def _init_centroids(emb_df: DataFrame, n_lists: int, sample_cap: int,
             .where(SF.pmod(SF.xxhash64(SF.col(id_col).cast("long")), SF.lit(4))
                    == SF.lit(0))
             .orderBy(id_col).limit(sample_cap).collect())
+    if not rows:
+        raise ValueError(
+            "IVF training sample is empty (corpus too small for the 1/4 "
+            "hash-selected sample) — train on more data or index exactly")
     m = _normalize(np.array([list(r[1]) for r in rows], dtype=np.float64))
     rng = np.random.default_rng(LSH_SEED)
     cent = m[rng.choice(m.shape[0], min(n_lists, m.shape[0]), replace=False)]

@@ -68,13 +68,20 @@ def _minhash_arrow(seeds: np.ndarray):
             starts = offsets[:-1]
             nonempty = offsets[1:] > offsets[:-1]
 
-            # MinHash: all permutations share one lane pass, segment-min per doc
+            # MinHash: all permutations share one lane pass, segment-min per
+            # doc. A trailing IDENTITY sentinel makes every doc-start offset
+            # a valid reduceat index: a trailing empty doc's start equals
+            # flat.size, and clipping it (the old code) truncated the LAST
+            # nonempty doc's segment by one element — a silent signature
+            # corruption.
             sig = np.full((n_docs, seeds.size), np.uint64(0xFFFFFFFFFFFFFFFF))
             if flat.size:
                 hs = xxh64_u64_multi_seed(flat, seeds)  # (n_perm, n_shingles)
-                red_at = np.minimum(starts, flat.size - 1)
+                hs_ext = np.concatenate(
+                    [hs, np.full((seeds.size, 1),
+                                 np.uint64(0xFFFFFFFFFFFFFFFF))], axis=1)
                 for j in range(seeds.size):
-                    mins = np.minimum.reduceat(hs[j], red_at)
+                    mins = np.minimum.reduceat(hs_ext[j], starts)
                     sig[nonempty, j] = mins[nonempty]
 
             # LSH bands: chain-hash each band's rows (+ band index as salt)
@@ -83,21 +90,30 @@ def _minhash_arrow(seeds: np.ndarray):
                 cols = [sig[:, b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)]
                 bands[:, b] = xxh64_u64_chain(cols, np.uint64(1000 + b))
 
-            # SimHash: majority vote per bit over shingle hashes
+            # SimHash: majority vote per bit over shingle hashes (same
+            # sentinel trick: a zero row leaves segment sums unchanged)
             sim = np.zeros(n_docs, dtype=np.uint64)
             if flat.size:
                 bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
                                      axis=1, bitorder="little").astype(np.int32)
-                sums = np.add.reduceat(bits, np.minimum(starts, flat.size - 1), axis=0)
+                bits_ext = np.vstack([bits, np.zeros((1, 64), np.int32)])
+                sums = np.add.reduceat(bits_ext, starts, axis=0)
                 counts = (offsets[1:] - offsets[:-1])[:, None]
                 maj = (2 * sums > counts) & nonempty[:, None]
                 weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
                 sim = (maj.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
 
+            # empty-shingle docs get NULL bands: their all-identity
+            # signatures would otherwise share every band key and form one
+            # quadratic candidate clique in the LSH self-join (posexplode
+            # skips nulls, so they simply never enter banding)
+            bands_i64 = bands.view(np.int64)
+            bands_py = [bands_i64[i].tolist() if nonempty[i] else None
+                        for i in range(n_docs)]
             yield pa.record_batch([
                 batch.column("doc_id"),
                 pa.array(sig.view(np.int64).tolist(), pa.list_(pa.int64())),
-                pa.array(bands.view(np.int64).tolist(), pa.list_(pa.int64())),
+                pa.array(bands_py, pa.list_(pa.int64())),
                 pa.array(sim.view(np.int64), pa.int64()),
             ], names=["doc_id", "signature", "bands", "simhash"])
 
@@ -190,7 +206,9 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
     tmp = tempfile.gettempdir()
     app = spark.sparkContext.applicationId
     if app not in _ngram_ex_last:  # first use this session: sweep the dead
-        cutoff = time.time() - 86_400
+        # 7-day cutoff: long enough that another LIVE session's table
+        # (written at its own start) is never swept from under it
+        cutoff = time.time() - 7 * 86_400
         for d in os.listdir(tmp):
             p = os.path.join(tmp, d)
             if (d.startswith(_NGRAM_EX_PREFIX) and app not in d

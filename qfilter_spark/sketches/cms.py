@@ -52,7 +52,9 @@ class CountMinSketch:
         n = idx.shape[1]
         w = np.ones(n, dtype=np.int64) if weights is None else np.asarray(weights, dtype=np.int64)
         for i in range(self.depth):
-            np.add.at(self.table[i], idx[i], w)
+            # bincount beats unbuffered np.add.at ~10-30x on this hot path
+            self.table[i] += np.bincount(
+                idx[i], weights=w, minlength=self.width).astype(np.int64)
         self.n_total += int(w.sum())
 
     def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:

@@ -57,7 +57,11 @@ class TDigest:
             np.clip(2.0 * q - 1.0, -1.0, 1.0))
 
     def _flush(self) -> None:
-        if not self._buf_v and self.means.size == 0:
+        if not self._buf_v:
+            # means/weights came from a previous flush; re-running the
+            # greedy pass on its own output is (at best) a no-op and (at
+            # worst) an extra compaction that would make estimates depend
+            # on how many times quantile() was called — skip it
             return
         v = np.concatenate([self.means] + self._buf_v)
         w = np.concatenate([self.weights] + self._buf_w)

@@ -698,8 +698,25 @@ def q_dedup_simhash(spark, sf_dir):
     non-near-dup candidate space (expected hamming for unrelated docs ~32).
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
-    sim = dedup.simhash_near_pairs(docs, max_hamming=20).select("doc_a", "doc_b")
-    verified = dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b")
+    # ONE shingle->signature->candidate pipeline feeds both the hamming
+    # filter and the exact-Jaccard verify (the round-2 version ran the
+    # whole pipeline twice via simhash_near_pairs + minhash_dedup_pairs)
+    hashed = dedup.with_shingle_hashes(
+        dedup.with_shingles(docs.select("doc_id", "text")))
+    sig = dedup.minhash_signatures(hashed)
+    cand = dedup.lsh_candidate_pairs(sig)
+    s = sig.select("doc_id", "simhash")
+    sim = (cand
+           .join(s.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("simhash", "sim_a"), "doc_a")
+           .join(s.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("simhash", "sim_b"), "doc_b")
+           .withColumn("hamming",
+                       F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+           .where(F.col("hamming") <= 20).select("doc_a", "doc_b"))
+    verified = (dedup.exact_jaccard_pairs(cand, hashed,
+                                          shingle_col="shingle_hashes")
+                .where(F.col("jacc_millis") >= 800).select("doc_a", "doc_b"))
     return sim.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b")
 
 
@@ -832,10 +849,10 @@ def q_hll_per_source(spark, sf_dir):
     rows = per_source.collect()
     exact = {r["source"]: r["n"] for r in
              docs.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()}
-    rsd = 1.04 / np.sqrt(1 << 14)
     out = []
     for r in rows:
-        est = sketches.loads(bytes(r["payload"])).estimate()
+        sk = sketches.loads(bytes(r["payload"]))
+        est, rsd = sk.estimate(), sk.relative_sd()  # bound from the sketch
         n = exact[r["source"]]
         out.append((r["source"], int(n), bool(abs(est - n) <= 4 * rsd * n + 2)))
     return spark.createDataFrame(
