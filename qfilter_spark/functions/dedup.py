@@ -180,47 +180,106 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
 
 _NGRAM_EX_PREFIX = "qfs_ngram_ex"
-_ngram_ex_last: dict[str, tuple[str, str]] = {}  # appId -> (table, path)
+_NGRAM_EX_KEEP = 2          # content-addressed tables kept live per session
+_NGRAM_EX_SWEEP_DAYS = 7    # dead-session dirs older than this are removed
+# (appId, plan_hash, n_buckets) -> (table, path); insertion-ordered LRU
+_ngram_ex_cache: dict[tuple[str, int, int], tuple[str, str]] = {}
+_ngram_ex_swept: set[str] = set()  # base dirs already swept this process
+
+
+def _ngram_base_dir(spark) -> str:
+    """Home for the bucketed intermediates: ``spark.qfilter.intermediateDir``
+    (a warehouse deployment points this at scratch storage with its own
+    lifecycle), defaulting to the system temp dir."""
+    import tempfile
+
+    return spark.conf.get("spark.qfilter.intermediateDir",
+                          tempfile.gettempdir())
+
+
+def _sweep_dead_tables(base: str, app: str) -> None:
+    """Remove intermediates left by DEAD sessions (best-effort, once per
+    process per base dir). The cutoff is long enough that another LIVE
+    session's table — written at its own start — is never swept from under
+    it; a concurrent session deleting its own entry mid-scan is skipped."""
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - _NGRAM_EX_SWEEP_DAYS * 86_400
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for d in entries:
+        if not d.startswith(_NGRAM_EX_PREFIX) or app in d:
+            continue
+        p = os.path.join(base, d)
+        try:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue  # raced with its owner's own cleanup
+
+
+def _drop_table(spark, table: str, path: str) -> None:
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
-    """Checkpoint the annotated explode to a bucketed+sorted parquet table.
+    """Checkpoint the annotated explode to a bucketed+sorted parquet table,
+    content-addressed for cross-call reuse.
 
     The warehouse-scale home for the one big ngram-jaccard intermediate:
     written ONCE (hash-bucketed by ``hs``), every downstream consumer —
     the rare-pair self-join, the per-doc stats, the hot intersection —
     scans it co-partitioned with no exchange on ``hs`` and no session-long
-    cache pin. Each invocation gets its OWN table+path; the previous
-    invocation's table is dropped and its files deleted, so a stale result
-    DataFrame fails fast (FileNotFound) instead of silently reading the
-    wrong corpus. CALLER CONTRACT: consume the returned plan before the
-    next ngram_jaccard_pairs call in the same session. Stale directories
-    from dead sessions (>1 day old) are swept on first use.
+    cache pin.
+
+    Tables are keyed by the canonicalized logical plan
+    (``df.semanticHash()``), so a repeated call over the same input —
+    common when tuning ``threshold_millis`` / ``max_df``, which live
+    DOWNSTREAM of this table — reuses the existing table instead of paying
+    the write again (the round-3 cold cost, ~5-10 s at sf0.1). The plan
+    hash identifies parquet inputs by path: overwriting the source files
+    mid-session would serve the stale table (don't). Literal in-memory
+    inputs hash conservatively (fresh exprIds per creation), so they never
+    false-share. The last ``_NGRAM_EX_KEEP`` distinct inputs stay live per
+    session; older tables are dropped LRU, after which DataFrames still
+    referencing them fail fast (FileNotFound) rather than silently reading
+    the wrong corpus. Dirs from dead sessions are swept after
+    ``_NGRAM_EX_SWEEP_DAYS`` on first use (see :func:`_sweep_dead_tables`).
     """
     import os
-    import shutil
-    import tempfile
-    import time
     import uuid
 
-    tmp = tempfile.gettempdir()
+    base = _ngram_base_dir(spark)
     app = spark.sparkContext.applicationId
-    if app not in _ngram_ex_last:  # first use this session: sweep the dead
-        # 7-day cutoff: long enough that another LIVE session's table
-        # (written at its own start) is never swept from under it
-        cutoff = time.time() - 7 * 86_400
-        for d in os.listdir(tmp):
-            p = os.path.join(tmp, d)
-            if (d.startswith(_NGRAM_EX_PREFIX) and app not in d
-                    and os.path.isdir(p) and os.path.getmtime(p) < cutoff):
-                shutil.rmtree(p, ignore_errors=True)
-    else:
-        old_table, old_path = _ngram_ex_last[app]
-        spark.sql(f"DROP TABLE IF EXISTS {old_table}")
-        shutil.rmtree(old_path, ignore_errors=True)
+    if base not in _ngram_ex_swept:
+        _ngram_ex_swept.add(base)
+        _sweep_dead_tables(base, app)
+
+    key = (app, df.semanticHash(), n_buckets)
+    hit = _ngram_ex_cache.get(key)
+    if hit is not None:
+        table, path = hit
+        if spark.catalog.tableExists(table) and os.path.isdir(path):
+            # refresh LRU position
+            _ngram_ex_cache.pop(key)
+            _ngram_ex_cache[key] = hit
+            return spark.table(table)
+        _ngram_ex_cache.pop(key)
+
+    while len(_ngram_ex_cache) >= _NGRAM_EX_KEEP:
+        oldest = next(iter(_ngram_ex_cache))
+        _drop_table(spark, *_ngram_ex_cache.pop(oldest))
+
     tag = uuid.uuid4().hex[:8]
     table = f"{_NGRAM_EX_PREFIX}_{tag}"
-    path = os.path.join(tmp, f"{_NGRAM_EX_PREFIX}_{app}_{tag}")
+    path = os.path.join(base, f"{_NGRAM_EX_PREFIX}_{app}_{tag}")
     # repartition by the bucket key at the bucket count: Spark's repartition
     # and bucket-id hashing agree (murmur3 pmod n), so each task holds
     # exactly one bucket -> n_buckets files total instead of
@@ -229,15 +288,14 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
        .write.format("parquet")
        .bucketBy(n_buckets, "hs").sortBy("hs")
        .option("path", path).saveAsTable(table))
-    _ngram_ex_last[app] = (table, path)
+    _ngram_ex_cache[key] = (table, path)
     return spark.table(table)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold_millis: int = 800,
-                        max_df: int = 500,
-                        bucketed_table: bool = True) -> DataFrame:
+                        max_df: int = 500) -> DataFrame:
     """Exact n-gram Jaccard >= threshold WITHOUT minhash, as joins + counts.
 
     The 100 TB-shaped plan (replaces the round-1 pair-explosion self-join):
@@ -259,8 +317,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     No string arrays through any shuffle, no driver collects, every stage a
     hash equi-join or partial-aggregated count. The one large intermediate
     (the freq-annotated explode) is checkpointed to a bucketed+sorted
-    parquet table (see :func:`_materialize_bucketed`), so its consumers
-    scan co-partitioned and nothing is pinned in executor memory. Recall caveat (unchanged
+    parquet table under ``spark.qfilter.intermediateDir`` (default: system
+    temp dir), so its consumers scan co-partitioned and nothing is pinned
+    in executor memory. The table is CONTENT-ADDRESSED by the input's
+    canonicalized plan and reused across calls — repeated calls over the
+    same input (e.g. threshold/max_df sweeps) skip the write. Lifetime
+    contract: the most recent 2 distinct inputs stay live per session;
+    consume a returned DataFrame before calling this on a 3rd distinct
+    input, or a stale plan fails fast with FileNotFound (see
+    :func:`_materialize_bucketed`). Recall caveat (unchanged
     from round 1): a qualifying pair whose every common shingle is hot is
     missed; at J >= 0.8 a pair shares most of its shingles, so sharing at
     least one rare one is near-certain on real corpora. Step 4's self-join
@@ -274,24 +339,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     ex = hashed.select("doc_id", F.explode("hs_arr").alias("hs"))
     dfreq = ex.groupBy("hs").agg(F.count("*").alias("freq"))
     # annotate every exploded row with its corpus frequency ONCE, then
-    # materialize it bucketed+sorted by hs (default) — the checkpointed
-    # bucketed table every downstream stage reads co-partitioned, with no
-    # cache pinned for the life of the session. The legacy in-memory path
-    # (bucketed_table=False) repartitions by hs at an explicit partition
-    # count instead: a bare .persist() would pin the cache at the session's
-    # raw shuffle partition count (200 default => 200 tasks for every
-    # downstream stage; AQE can't coalesce cached plans).
+    # materialize it bucketed+sorted by hs — the checkpointed bucketed
+    # table every downstream stage reads co-partitioned, with no cache
+    # pinned for the life of the session (a bare .persist() would pin the
+    # cache at the session's raw shuffle partition count and AQE can't
+    # coalesce cached plans — the round-1/2 legacy path, now removed).
     rare = F.col("freq") <= max_df
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     annotated = ex.join(dfreq, "hs")
-    if bucketed_table:
-        ex_f = _materialize_bucketed(spark, annotated, n_parts)
-    else:
-        from pyspark import StorageLevel
-
-        ex_f = (annotated.repartition(n_parts, "hs")
-                .persist(StorageLevel.MEMORY_AND_DISK))
+    ex_f = _materialize_bucketed(spark, annotated, n_parts)
 
     ex_rare = ex_f.where(rare).select("doc_id", "hs")
     pairs_rare = (ex_rare.alias("a").join(ex_rare.alias("b"), "hs")

@@ -88,8 +88,8 @@ def main():
     # 5. ngram-jaccard intermediate: bucketed scan with pushed freq filter
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dedup.ngram_jaccard_pairs(docs)  # materializes the bucketed table
-    from qfilter_spark.functions.dedup import _ngram_ex_last
-    table = _ngram_ex_last[spark.sparkContext.applicationId][0]
+    from qfilter_spark.functions.dedup import _ngram_ex_cache
+    table = next(reversed(_ngram_ex_cache.values()))[0]  # most recent table
     rare = spark.table(table).where(F.col("freq") <= 500) \
         .select("doc_id", "hs")
     j = rare.alias("a").join(rare.alias("b"), "hs")

@@ -83,3 +83,69 @@ def test_lower_threshold_still_exact(spark, hot_corpus):
         boiler_sh = {" ".join("terms of service apply to all content here"
                               .split(" ")[i:i + 3]) for i in range(6)}
         assert shared <= boiler_sh, (a, b, shared - boiler_sh)
+
+
+# ---------------------------------------------------------------------------
+# content-addressed bucketed intermediate (round-4)
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, tmp_path, name, docs):
+    p = str(tmp_path / name)
+    spark.createDataFrame(docs, "doc_id string, text string").write.parquet(p)
+    return p
+
+
+def test_bucketed_table_reused_across_calls(spark, tmp_path):
+    """Same parquet input twice -> ONE table write, same backing table; the
+    second call (even with different threshold/max_df, which live downstream
+    of the table) must not rewrite it."""
+    p = _write_docs(spark, tmp_path, "in1",
+                    [(f"d{i}", " ".join(f"w{i}x{j}" for j in range(8)))
+                     for i in range(20)])
+    docs = spark.read.parquet(p)
+    dedup.ngram_jaccard_pairs(docs, threshold_millis=800).collect()
+    t1 = next(reversed(dedup._ngram_ex_cache.values()))[0]
+    dedup.ngram_jaccard_pairs(docs, threshold_millis=300, max_df=7).collect()
+    t2 = next(reversed(dedup._ngram_ex_cache.values()))[0]
+    assert t1 == t2
+    # a re-read of the same path also hits (plan hash keys on the path)
+    dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+    assert next(reversed(dedup._ngram_ex_cache.values()))[0] == t1
+
+
+def test_bucketed_table_lru_eviction(spark, tmp_path):
+    """The keep-2 LRU drops the oldest table's files and catalog entry."""
+    import os
+    paths = [_write_docs(spark, tmp_path, f"ev{k}",
+                         [(f"d{k}_{i}", " ".join(f"v{k}w{i}x{j}" for j in range(6)))
+                          for i in range(10)])
+             for k in range(3)]
+    tables = []
+    for p in paths:
+        dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+        tables.append(next(reversed(dedup._ngram_ex_cache.values())))
+    assert len(dedup._ngram_ex_cache) <= dedup._NGRAM_EX_KEEP
+    t0_name, t0_path = tables[0]
+    assert not spark.catalog.tableExists(t0_name)
+    assert not os.path.isdir(t0_path)
+    # survivors still readable
+    for name, path in tables[-dedup._NGRAM_EX_KEEP:]:
+        assert spark.catalog.tableExists(name) and os.path.isdir(path)
+
+
+def test_intermediate_dir_conf_respected(spark, tmp_path):
+    """spark.qfilter.intermediateDir redirects where tables are written."""
+    import os
+    target = str(tmp_path / "qfs_intermediate")
+    os.makedirs(target, exist_ok=True)
+    spark.conf.set("spark.qfilter.intermediateDir", target)
+    try:
+        p = _write_docs(spark, tmp_path, "confdir",
+                        [(f"c{i}", " ".join(f"c{i}x{j}" for j in range(6)))
+                         for i in range(10)])
+        dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+        _, path = next(reversed(dedup._ngram_ex_cache.values()))
+        assert path.startswith(target)
+        assert os.path.isdir(path)
+    finally:
+        spark.conf.unset("spark.qfilter.intermediateDir")
