@@ -193,7 +193,13 @@ def q_rsqf_fpr(spark, sf_dir):
     hits = probe_hashes(absent, blob, "h", out_col="c", as_bool=True) \
         .where("c").count()
     ok = hits / 50_000 <= sk.filter.max_error_ratio()
-    return _one_row(spark, n_probes=50_000, fpr_within_bound=bool(ok))
+    # n_false_positives carries the DEGREE of the bound, not just the
+    # boolean: the build is merge-order invariant and the probe set fixed,
+    # so the count is engine-deterministic and pinned in the oracle — a
+    # drift of even one false positive flips the gate, where the boolean
+    # alone only flips at the bound cliff.
+    return _one_row(spark, n_probes=50_000, n_false_positives=int(hits),
+                    fpr_within_bound=bool(ok))
 
 
 def q_rsqf_counting(spark, sf_dir):
@@ -1119,7 +1125,12 @@ def q_ann_lsh_recall(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in ann.lsh_topk(emb, qs, k=10).collect()}
     recall = len(exact & approx) / len(exact)
-    return _one_row(spark, n_queries=10, recall_ok=bool(recall >= 0.5))
+    # n_recall_hits (of 100 exact pairs) is deterministic — seeded
+    # hyperplanes, exact re-rank — and pinned per-corpus in the oracle so
+    # recall REGRESSIONS are visible, not just bound crossings.
+    return _one_row(spark, n_queries=10, n_exact_pairs=len(exact),
+                    n_recall_hits=len(exact & approx),
+                    recall_ok=bool(recall >= 0.5))
 
 
 def q_ann_ivf_recall(spark, sf_dir):
@@ -1134,15 +1145,22 @@ def q_ann_ivf_recall(spark, sf_dir):
     exact = {(r["query_id"], r["neighbor_id"])
              for r in ann.cosine_topk(emb, qs, k=10).collect()}
 
-    def recall(train):
+    def hits(train):
         approx = {(r["query_id"], r["neighbor_id"])
                   for r in ann.ivf_topk(emb, qs, k=10, n_lists=16, nprobe=8,
                                         train=train).collect()}
-        return len(exact & approx) / len(exact)
+        return len(exact & approx)
 
+    # hit counts (of 100 exact pairs) are deterministic — seeded k-means
+    # init, single-split scan order for the distributed partial sums — and
+    # pinned per-corpus in the oracle: both trainers' recall is degree-
+    # checked, not just bound-checked.
+    h_sample, h_dist = hits("sample"), hits("distributed")
     return _one_row(spark, n_queries=10,
-                    recall_ok=bool(recall("sample") >= 0.35),
-                    dist_recall_ok=bool(recall("distributed") >= 0.35))
+                    n_recall_hits_sample=h_sample,
+                    n_recall_hits_dist=h_dist,
+                    recall_ok=bool(h_sample / len(exact) >= 0.35),
+                    dist_recall_ok=bool(h_dist / len(exact) >= 0.35))
 
 
 PLANTED_EMB_BASE_ID = 10_000_000
