@@ -58,7 +58,11 @@ def test_distributed_training_matches_driver_on_sample(emb):
     driver_cent = ann.ivf_centroids(sample, n_lists=8)
     dist_cent = ann.ivf_centroids_distributed(sample, n_lists=8)
     sample.unpersist()
-    assert np.allclose(driver_cent, dist_cent, rtol=0, atol=1e-12)
+    # atol covers float summation-order differences only (np.mean's
+    # pairwise summation vs per-partition sequential partial sums,
+    # amplified over 4 Lloyd iterations) — NOT algorithmic divergence,
+    # which shows up orders of magnitude above 1e-9
+    assert np.allclose(driver_cent, dist_cent, rtol=0, atol=1e-9)
 
 
 def test_distributed_training_recall_at_4x_lists(emb):
@@ -80,3 +84,25 @@ def test_distributed_training_recall_at_4x_lists(emb):
     # self-hits guaranteed + expected ~(1+9*nprobe/n_lists)/10 ~ 0.55
     assert r_dist >= 0.3
     assert r_dist >= recall("sample") - 0.1
+
+
+def test_distributed_training_recall_at_64_lists_undercovered(emb):
+    """The regime the distributed trainer exists for: at n_lists=64 the
+    bounded sample (m=187 of 800 here) thins to ~3 points/list — past the
+    documented use-distributed bound n_lists > m/64 — and full-corpus
+    Lloyd training must do at least as well as the starved sample trainer
+    (deterministic on this fixture: 0.80 vs 0.78)."""
+    rows = emb.where("vec_id < 5").orderBy("vec_id").collect()
+    qs = [(int(r["vec_id"]), list(r["embedding"])) for r in rows]
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann.cosine_topk(emb, qs, k=10).collect()}
+
+    def recall(train):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ann.ivf_topk(emb, qs, k=10, n_lists=64, nprobe=16,
+                                     train=train).collect()}
+        return len(exact & got) / len(exact)
+
+    r_dist, r_sample = recall("distributed"), recall("sample")
+    assert r_dist >= r_sample
+    assert r_dist >= 0.5
