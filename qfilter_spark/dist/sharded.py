@@ -532,7 +532,8 @@ def _emit_chunk_rows(df, spec_like: SketchSpec, n_shards: int, fs: int,
 
 def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
                                max_fps_per_row: int = 16_000_000,
-                               max_buffer: int = 16_000_000):
+                               max_buffer: int = 16_000_000,
+                               path: str | None = None):
     """Skew-resistant build: returns (filter_df, directory).
 
     Two passes over the CHUNK rows (never the raw input): pass 1 collects
@@ -540,10 +541,21 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
     each sorted chunk at the planned boundaries and merges per row key.
     Every merge task handles <= ~max_fps_per_row fingerprints regardless of
     prefix skew. Row payloads stay in shard-local coordinates.
+
+    The merged table's at-rest form is a parquet directory at ``path``
+    (default: a unique dir under ``spark.qfilter.intermediateDir`` /
+    system temp) and the returned DataFrame simply reads it — matching how
+    the unsplit filter lives as a parquet table, with NO caller-side
+    unpersist contract and nothing pinned in executor memory (the round-3
+    API returned a persisted DataFrame the caller had to remember to
+    release). Delete the directory when the filter is retired;
+    ``filter_df.inputFiles()`` recovers it.
     """
+    import os
+    import uuid
+
     import pandas as pd
     from pyspark import StorageLevel
-    from pyspark.sql import functions as F
 
     k = shard_bits_for(n_shards)
     qbits, rbits, fs = _fp_meta(spec)
@@ -593,15 +605,21 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
         return pd.DataFrame({"key": [int(key[0])], "shard": [shard],
                              "n_fps": [int(fps.size)], "payload": [blob]})
 
-    # materialize the merged table NOW so the corpus-scale chunk cache can
-    # be released inside this call (round-2 leaked it for the app
-    # lifetime); the returned table is persisted — callers unpersist it
-    # when done (at warehouse scale you would write.parquet it instead)
-    out = (keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA)
-           .persist(StorageLevel.MEMORY_AND_DISK))
-    out.count()
+    # materialize the merged table NOW (to its at-rest parquet home) so the
+    # corpus-scale chunk cache can be released inside this call (round-2
+    # leaked it for the app lifetime; round-3 returned a persisted
+    # DataFrame with an easy-to-forget unpersist contract)
+    spark = df.sparkSession
+    if path is None:
+        from ..sources import intermediate_dir
+
+        path = os.path.join(
+            intermediate_dir(spark),
+            f"qfs_split_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}")
+    keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA) \
+        .write.mode("errorifexists").parquet(path)
     chunks_df.unpersist()
-    return out, directory
+    return spark.read.schema(SPLIT_SCHEMA).parquet(path), directory
 
 
 def _emit_split_chunks(df, spec_in: SketchSpec, directory: "ShardDirectory",

@@ -188,13 +188,10 @@ _ngram_ex_swept: set[str] = set()  # base dirs already swept this process
 
 
 def _ngram_base_dir(spark) -> str:
-    """Home for the bucketed intermediates: ``spark.qfilter.intermediateDir``
-    (a warehouse deployment points this at scratch storage with its own
-    lifecycle), defaulting to the system temp dir."""
-    import tempfile
+    """See :func:`qfilter_spark.sources.intermediate_dir`."""
+    from ..sources import intermediate_dir
 
-    return spark.conf.get("spark.qfilter.intermediateDir",
-                          tempfile.gettempdir())
+    return intermediate_dir(spark)
 
 
 def _sweep_dead_tables(base: str, app: str) -> None:

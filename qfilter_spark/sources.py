@@ -10,6 +10,17 @@ this module.
 from __future__ import annotations
 
 
+def intermediate_dir(spark) -> str:
+    """Home for engine-managed intermediate tables (bucketed dedup
+    intermediates, split filter tables): ``spark.qfilter.intermediateDir``
+    — a warehouse deployment points this at scratch storage with its own
+    lifecycle — defaulting to the system temp dir."""
+    import tempfile
+
+    return spark.conf.get("spark.qfilter.intermediateDir",
+                          tempfile.gettempdir())
+
+
 def _has_iceberg(spark) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(

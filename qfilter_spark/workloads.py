@@ -159,6 +159,20 @@ def table_column_range(sf_dir: str, name: str, col: str):
     return lo, hi
 
 
+def _drop_split_dir(filter_df: DataFrame) -> None:
+    """Retire a split filter table: delete its at-rest parquet directory
+    (recovered from the scan's input files — see
+    dist.sharded.build_sharded_filter_split)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    files = filter_df.inputFiles()
+    if files:
+        p = urlparse(files[0]).path or files[0]
+        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+
+
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
     names = ", ".join(
         f"{k} {'boolean' if isinstance(v, bool) else 'long' if isinstance(v, (int, np.integer)) else 'string'}"
@@ -508,16 +522,19 @@ def q_rsqf_sharded_skew(spark, sf_dir):
     cap = max(64, n // 3)
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
                                                  max_fps_per_row=cap)
-    # (the split build returns the table already persisted)
-    shape = filt.agg(F.max("n_fps").alias("mx"),
-                     F.count("*").alias("rows")).collect()[0]
-    single = sketches.loads(build_sketch(df, spec, fan_in=8))
-    merged = sketches.loads(split_to_single(filt, spec, n_shards))
-    identical = bool(np.array_equal(merged.filter.fingerprints(),
-                                    single.filter.fingerprints()))
-    stats = (probe_sharded_split(df, spec, filt, directory, spec)
-             .groupBy().sum("n_probed", "n_contained").collect()[0])
-    filt.unpersist()
+    try:
+        # (the split build's at-rest form is a parquet dir; removed after
+        # the last consumer below)
+        shape = filt.agg(F.max("n_fps").alias("mx"),
+                         F.count("*").alias("rows")).collect()[0]
+        single = sketches.loads(build_sketch(df, spec, fan_in=8))
+        merged = sketches.loads(split_to_single(filt, spec, n_shards))
+        identical = bool(np.array_equal(merged.filter.fingerprints(),
+                                        single.filter.fingerprints()))
+        stats = (probe_sharded_split(df, spec, filt, directory, spec)
+                 .groupBy().sum("n_probed", "n_contained").collect()[0])
+    finally:
+        _drop_split_dir(filt)
     return _one_row(spark,
                     n_probed=int(stats[0]), n_contained=int(stats[1]),
                     hot_shard_split=bool(shape["rows"] > n_shards + 1),
@@ -560,28 +577,31 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
     filt, directory = build_sharded_filter_split(
         fan_out(ev), spec, n_shards=n_shards,
         max_fps_per_row=max(64, n // 8))
-    after = remove_sharded_split(filt, removals, spec, directory, spec).cache()
-    bytes_before = after.agg(F.sum(F.length("payload")).alias("b")) \
-        .collect()[0]["b"]
-    filt.unpersist()  # the split build returns its table persisted
-    shrunk = shrink_sharded(after).cache()
-    bytes_after = shrunk.agg(F.sum(F.length("payload")).alias("b")) \
-        .collect()[0]["b"]
-    len_after = shrunk.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
+    try:
+        after = remove_sharded_split(filt, removals, spec, directory,
+                                     spec).cache()
+        bytes_before = after.agg(F.sum(F.length("payload")).alias("b")) \
+            .collect()[0]["b"]
+        shrunk = shrink_sharded(after).cache()
+        bytes_after = shrunk.agg(F.sum(F.length("payload")).alias("b")) \
+            .collect()[0]["b"]
+        len_after = shrunk.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
 
-    # parity reference: the unsplit distributed remove (itself gated
-    # bit-equal to the single-node filter by rsqf_remove/rsqf_sharded)
-    ref = remove_sharded(build_sharded_filter(ev, spec, n_shards=n_shards),
-                         removals, "h", n_shards, spec)
-    a = sketches.loads(split_to_single(shrunk, spec, n_shards))
-    b = sketches.loads(sharded_to_single(ref, spec, n_shards))
-    identical = bool(np.array_equal(a.filter.fingerprints(),
-                                    b.filter.fingerprints()))
+        # parity reference: the unsplit distributed remove (itself gated
+        # bit-equal to the single-node filter by rsqf_remove/rsqf_sharded)
+        ref = remove_sharded(build_sharded_filter(ev, spec, n_shards=n_shards),
+                             removals, "h", n_shards, spec)
+        a = sketches.loads(split_to_single(shrunk, spec, n_shards))
+        b = sketches.loads(sharded_to_single(ref, spec, n_shards))
+        identical = bool(np.array_equal(a.filter.fingerprints(),
+                                        b.filter.fingerprints()))
 
-    stats = (probe_sharded_split(keep, spec, shrunk, directory, spec)
-             .agg(F.sum("n_contained").alias("n")).collect()[0])
-    after.unpersist()
-    shrunk.unpersist()
+        stats = (probe_sharded_split(keep, spec, shrunk, directory, spec)
+                 .agg(F.sum("n_contained").alias("n")).collect()[0])
+        after.unpersist()
+        shrunk.unpersist()
+    finally:
+        _drop_split_dir(filt)
     return _one_row(spark, len_after=int(len_after),
                     n_remaining_contained=int(stats["n"]),
                     split_remove_equals_sharded=identical,

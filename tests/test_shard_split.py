@@ -30,11 +30,19 @@ def skewed(spark):
     return uniform.union(hot).repartition(8), spec, 16, 2 * n
 
 
-def test_split_bounds_row_sizes(spark, skewed):
+def test_split_bounds_row_sizes(spark, skewed, tmp_path):
+    import os
+
     df, spec, n_shards, n = skewed
     cap = n // 6
+    at_rest = str(tmp_path / "split_table")
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
-                                                 max_fps_per_row=cap)
+                                                 max_fps_per_row=cap,
+                                                 path=at_rest)
+    # the at-rest form IS a parquet dir at the requested path (no persisted
+    # DataFrame, no unpersist contract)
+    assert os.path.isdir(at_rest)
+    assert not filt.storageLevel.useMemory
     rows = filt.collect()
     by_shard = {}
     for r in rows:
@@ -50,23 +58,24 @@ def test_split_bounds_row_sizes(spark, skewed):
         if not any(r["key"] == i for r in rows))
 
 
-def test_split_union_bit_equal_to_single(spark, skewed):
+def test_split_union_bit_equal_to_single(spark, skewed, tmp_path):
     df, spec, n_shards, n = skewed
     filt, _ = build_sharded_filter_split(df, spec, n_shards=n_shards,
-                                         max_fps_per_row=n // 6)
+                                         max_fps_per_row=n // 6,
+                                         path=str(tmp_path / "t"))
     single = sketches.loads(build_sketch(df, spec, fan_in=8))
     merged = sketches.loads(split_to_single(filt, spec, n_shards))
     assert np.array_equal(merged.filter.fingerprints(),
                           single.filter.fingerprints())
 
 
-def test_split_remove_then_probe(spark, skewed):
+def test_split_remove_then_probe(spark, skewed, tmp_path):
     from qfilter_spark.dist.sharded import remove_sharded_split
 
     df, spec, n_shards, n = skewed
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
-                                                 max_fps_per_row=n // 6)
-    filt = filt.cache()
+                                                 max_fps_per_row=n // 6,
+                                                 path=str(tmp_path / "t"))
     before = filt.groupBy().sum("n_fps").collect()[0][0]
     # remove a quarter of the uniform keys (fingerprint-width collisions
     # make exact-count asserts off by a handful; tolerances cover them)
@@ -78,7 +87,7 @@ def test_split_remove_then_probe(spark, skewed):
     stats = (probe_sharded_split(uniform, spec, after, directory, spec)
              .groupBy().sum("n_probed", "n_contained").collect()[0])
     assert int(stats[1]) <= 20  # removed fingerprints gone (collision slack)
-    filt.unpersist(); after.unpersist()
+    after.unpersist()
 
 
 def test_shrink_sharded_reclaims_bytes_keeps_answers(spark, skewed):
@@ -113,11 +122,11 @@ def test_shrink_sharded_reclaims_bytes_keeps_answers(spark, skewed):
     filt.unpersist(); after.unpersist(); shrunk.unpersist()
 
 
-def test_split_probe_zero_false_negatives(spark, skewed):
+def test_split_probe_zero_false_negatives(spark, skewed, tmp_path):
     df, spec, n_shards, n = skewed
     filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
-                                                 max_fps_per_row=n // 6)
-    filt = filt.cache()
+                                                 max_fps_per_row=n // 6,
+                                                 path=str(tmp_path / "t"))
     stats = (probe_sharded_split(df, spec, filt, directory, spec)
              .groupBy().sum("n_probed", "n_contained").collect()[0])
     assert int(stats[0]) == n
@@ -129,4 +138,3 @@ def test_split_probe_zero_false_negatives(spark, skewed):
          .groupBy().sum("n_probed", "n_contained").collect()[0])
     sk = spec.make()
     assert int(a[1]) / int(a[0]) <= 4 * sk.filter.max_error_ratio() + 0.001
-    filt.unpersist()
