@@ -20,6 +20,8 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      QFS_BENCH_DOCS (corpus size override),
      QFS_SCALING_DOCS (scaling-run corpus size, default 100000),
      QFS_REPEATS (best-of repeats, default 2),
+     QFS_QUERY_RETRY_SECS / QFS_QUERY_RETRIES (per-query min-of-k retry:
+       queries slower than the threshold retry up to k=3 times),
      QFS_SCALING=0 to skip the N-vs-4N scaling runs.
 """
 
@@ -188,29 +190,35 @@ def headline_job(spark, corpus_path: str, fp_rate: float = 0.01,
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     """Per-query wall times. This host's steal storms hit individual
-    queries at random (the same untouched query swings 3-5x between runs),
-    so any query slower than QFS_QUERY_RETRY_SECS gets one retry and the
-    MIN is recorded — the retry only spends time where a storm plausibly
-    struck, and min-of-2 is the standard noise floor estimator here
-    (best-of-k per side is already the scaling protocol's rule)."""
+    queries at random (the same untouched query swings 3-5x between runs:
+    kll_quantiles and rsqf_counting flagged phantom ±50-90% regressions in
+    round-over-round tables), so any query slower than QFS_QUERY_RETRY_SECS
+    is retried up to QFS_QUERY_RETRIES (default 3) times and the MIN
+    recorded — retries only spend time where a storm plausibly struck.
+    Queries that are slow BY DESIGN stop early: once two consecutive
+    attempts agree within 20%, the timing is converged, not stolen (the
+    scaling protocol's best-of-k rule, applied adaptively)."""
     import __spark_entry__ as entrymod
     retry_over = float(os.environ.get("QFS_QUERY_RETRY_SECS", "4"))
+    max_attempts = max(1, int(os.environ.get("QFS_QUERY_RETRIES", "3")))
     timings = {}
     for name, fn in entrymod.queries().items():
-        best = None
-        for attempt in range(2):
+        times: list[float] = []
+        for attempt in range(max_attempts):
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).collect()
-                el = round(time.perf_counter() - t0, 3)
+                times.append(round(time.perf_counter() - t0, 3))
             except Exception as e:
                 log(f"query {name} failed: {e}")
-                el = -1.0
                 break
-            best = el if best is None else min(best, el)
-            if best < retry_over:
+            if min(times) < retry_over:
                 break
-        timings[name] = best if best is not None else -1.0
+            if (len(times) >= 2
+                    and abs(times[-1] - times[-2])
+                    <= 0.2 * min(times[-1], times[-2])):
+                break  # consecutive attempts agree: converged, not stolen
+        timings[name] = min(times) if times else -1.0
     return timings
 
 

@@ -33,14 +33,29 @@ def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
     SQL mirror (DuckDB): list_distinct(list_transform(range(1, len(w)-n+1+1),
     i -> w[i]||' '||...||w[i+n-1])) over w = string_split(text, ' ').
+
+    Construction detail that matters at scale: the sliding window is an
+    ``arrays_zip`` of n shifted ``slice``s, and the lambda touches ONLY its
+    zipped element — no outer column references inside the lambda. The
+    obvious formulation (``transform(sequence(...), i -> __words[i+k]...)``)
+    is quadratic in document length: Catalyst's CollapseProject inlines the
+    ``__words`` expression (split, and anything UPSTREAM of the text
+    column) into every per-element reference, and higher-order functions
+    evaluate interpreted, so each shingle re-evaluated an O(len) expression
+    — measured 200x slower on 4096-token docs, invisible on short ones.
+    Here every outer reference sits in the transform's input argument,
+    which is evaluated once per row no matter what the optimizer inlines.
     """
-    parts = ", ' ', ".join(f"__words[i + {k}]" for k in range(n))
-    expr = (f"CASE WHEN size(__words) < {n} THEN array() ELSE "
-            f"array_distinct(transform(sequence(0, size(__words) - {n}), "
-            f"i -> concat({parts}))) END")
-    return (df.withColumn("__words", F.split(F.col(text_col), " "))
+    w = "__words"
+    zips = ", ".join(f"slice({w}, {k + 1}, size({w}) - {n} + 1)"
+                     for k in range(n))
+    parts = ", ' ', ".join(f"p['{k}']" for k in range(n))
+    expr = (f"CASE WHEN size({w}) < {n} THEN array() ELSE "
+            f"array_distinct(transform(arrays_zip({zips}), "
+            f"p -> concat({parts}))) END")
+    return (df.withColumn(w, F.split(F.col(text_col), " "))
               .withColumn(out_col, F.expr(expr))
-              .drop("__words"))
+              .drop(w))
 
 
 def with_shingle_hashes(df: DataFrame, shingle_col: str = "shingles",

@@ -29,24 +29,39 @@ def gram_hash_col(tk_col: str = "tk", n: int = 3) -> Column:
 
     xxhash64(a, b, c) chains lanes (each element's hash seeds the next) —
     bit-identical to qfilter_spark.functions.ngrams.ngram_hashes.
+
+    Sliding window = ``arrays_zip`` of n shifted ``slice``s so the lambda
+    references only its zipped element: per-element references to the
+    OUTER array (``tk[i+j]``) would get the array's whole upstream
+    expression inlined by CollapseProject and re-evaluated per element —
+    quadratic in document length (see dedup.with_shingles).
     """
-    args = ", ".join(f"{tk_col}[i + {j}]" for j in range(n))
+    zips = ", ".join(f"slice({tk_col}, {j + 1}, size({tk_col}) - {n} + 1)"
+                     for j in range(n))
+    args = ", ".join(f"p['{j}']" for j in range(n))
     return F.expr(
         f"CASE WHEN size({tk_col}) < {n} THEN array() ELSE "
-        f"transform(sequence(0, size({tk_col}) - {n}), i -> xxhash64({args})) END")
+        f"transform(arrays_zip({zips}), p -> xxhash64({args})) END")
 
 
 def winnow_col(grams_col: str = "grams", w: int = 4) -> Column:
     """Winnowed fingerprint set: distinct window minima (JVM).
 
     Documents with fewer than w grams contribute their single global
-    minimum (the paper's convention for short inputs).
+    minimum (the paper's convention for short inputs). Windows are an
+    ``arrays_zip`` of w shifted slices with ``least`` over the zipped
+    struct's fields — per-window ``slice({grams_col}, j, w)`` inside the
+    lambda would re-evaluate the whole grams expression per window once
+    CollapseProject inlines it (see :func:`gram_hash_col`).
     """
+    zips = ", ".join(f"slice({grams_col}, {j + 1}, size({grams_col}) - {w} + 1)"
+                     for j in range(w))
+    mins = ", ".join(f"p['{j}']" for j in range(w))
     return F.expr(
         f"CASE WHEN size({grams_col}) = 0 THEN array() "
         f"WHEN size({grams_col}) < {w} THEN array(array_min({grams_col})) "
-        f"ELSE array_distinct(transform(sequence(1, size({grams_col}) - {w} + 1), "
-        f"j -> array_min(slice({grams_col}, j, {w})))) END")
+        f"ELSE array_distinct(transform(arrays_zip({zips}), "
+        f"p -> least({mins}))) END")
 
 
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
