@@ -83,7 +83,11 @@ def main():
 
     from qfilter_spark.functions import dedup
 
+    # the corpus is identity-partitioned by source with a 49% hot source;
+    # rebalance before the per-row-heavy kernels (same reason the gate
+    # queries wrap their input in workloads.fan_out)
     docs = (spark.read.parquet(corpus_path)
+            .repartition(4 * cpus)
             .select("doc_id",
                     F.concat_ws(" ", F.transform(
                         "tokens", lambda t: t.cast("string"))).alias("text")))

@@ -108,3 +108,36 @@ def test_rsqf_merge_no_spurious_grow():
     sk_d.update_hashes(hs[30:])
     sk_c.merge(sk_d)
     assert len(sk_c.filter) == 600
+
+
+# ---------------------------------------------------------------------------
+# round-4 ADVICE findings
+# ---------------------------------------------------------------------------
+
+def test_ngram_sweep_tolerates_concurrent_deletion(tmp_path, monkeypatch):
+    """ADVICE r3: a concurrent session deleting its own table between the
+    listdir and the getmtime probe must be skipped, not abort the sweep;
+    a missing base dir is a no-op."""
+    import time
+
+    from qfilter_spark.functions import dedup
+
+    stale = tmp_path / f"{dedup._NGRAM_EX_PREFIX}_deadapp_aa"
+    stale.mkdir()
+    old = time.time() - (dedup._NGRAM_EX_SWEEP_DAYS + 1) * 86_400
+    os.utime(stale, (old, old))
+    racing = tmp_path / f"{dedup._NGRAM_EX_PREFIX}_otherapp_bb"
+    racing.mkdir()
+
+    real_getmtime = os.path.getmtime
+
+    def flaky(p):
+        if "otherapp" in p:
+            raise OSError("deleted from under us")
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", flaky)
+    dedup._sweep_dead_tables(str(tmp_path), "myapp")   # must not raise
+    assert not stale.exists()          # genuinely-stale dir swept
+    assert racing.exists()             # racing dir skipped, sweep continued
+    dedup._sweep_dead_tables(str(tmp_path / "missing"), "myapp")  # no-op
