@@ -157,8 +157,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_sketch_tokens":
             f"SELECT CAST(sum(greatest({toks} - 2, 0)) AS BIGINT) AS n_ngrams, "
             "true AS matches_exact FROM documents",
+        # hll_estimate: HLL register merge is max (merge-order invariant),
+        # so the rounded estimate is deterministic and pinned per corpus
+        # (discriminated by the orders row count, as for the ann rows)
         "hll_distinct":
             "SELECT count(DISTINCT o_custkey) AS exact_distinct, "
+            "CAST(CASE count(*) WHEN 1500 THEN 151 WHEN 15000 THEN 1507 END "
+            "AS BIGINT) AS hll_estimate, "
             "true AS hll_within_bound FROM orders",
         "cms_heavy_hitters":
             "SELECT source, count(*) AS exact_cnt, true AS est_within_bound "

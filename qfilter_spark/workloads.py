@@ -618,7 +618,13 @@ def q_hll_distinct(spark, sf_dir):
     sk = sketches.loads(blob)
     exact = orders.select(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
     ok = abs(sk.estimate() - exact) <= 4 * sk.relative_sd() * exact + 2
-    return _one_row(spark, exact_distinct=int(exact), hll_within_bound=bool(ok))
+    # hll_estimate carries the DEGREE: HLL register merge is max, hence
+    # merge-order invariant, so the rounded estimate is engine-
+    # deterministic and pinned per-corpus in the oracle (same pattern as
+    # rsqf_fpr's n_false_positives)
+    return _one_row(spark, exact_distinct=int(exact),
+                    hll_estimate=int(round(sk.estimate())),
+                    hll_within_bound=bool(ok))
 
 
 def q_cms_heavy_hitters(spark, sf_dir):
