@@ -107,12 +107,18 @@ def oracle_sql() -> dict[str, str]:
         "rsqf_membership":
             "SELECT count(*) AS n_probed, count(*) AS n_contained FROM documents",
         # n_false_positives: engine-deterministic (merge-order-invariant
-        # build, fixed 50k absent probe set) and pinned — the sf0.001 and
-        # sf0.01 documents tables share the same doc_id domain (0..499),
-        # so the constant holds at both gate SFs; FPR = 191/50000 = 0.0038.
+        # build, fixed 50k absent probe set) and pinned PER CORPUS,
+        # discriminated by the orders row count like every pinned degree
+        # below (sf0.001 and sf0.01 share a value because their documents
+        # tables share the doc_id domain 0..499). A NEW corpus needs its
+        # constant measured and added here — the mismatch on an unpinned
+        # corpus is deliberate, the degrees are regression pins, not
+        # derivable quantities (DuckDB cannot evaluate the filter).
         "rsqf_fpr":
             "SELECT CAST(50000 AS BIGINT) AS n_probes, "
-            "CAST(191 AS BIGINT) AS n_false_positives, "
+            "CAST(CASE (SELECT count(*) FROM orders) "
+            "WHEN 1500 THEN 191 WHEN 15000 THEN 191 WHEN 150000 THEN 228 "
+            "END AS BIGINT) AS n_false_positives, "
             "true AS fpr_within_bound",
         "rsqf_counting":
             "SELECT count(DISTINCT o_custkey) AS n_keys, "
@@ -162,8 +168,8 @@ def oracle_sql() -> dict[str, str]:
         # (discriminated by the orders row count, as for the ann rows)
         "hll_distinct":
             "SELECT count(DISTINCT o_custkey) AS exact_distinct, "
-            "CAST(CASE count(*) WHEN 1500 THEN 151 WHEN 15000 THEN 1507 END "
-            "AS BIGINT) AS hll_estimate, "
+            "CAST(CASE count(*) WHEN 1500 THEN 151 WHEN 15000 THEN 1507 "
+            "WHEN 150000 THEN 14858 END AS BIGINT) AS hll_estimate, "
             "true AS hll_within_bound FROM orders",
         "cms_heavy_hitters":
             "SELECT source, count(*) AS exact_cnt, true AS est_within_bound "
@@ -234,16 +240,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(10 AS BIGINT) AS n_queries, "
             "CAST(100 AS BIGINT) AS n_exact_pairs, "
             "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 91 WHEN 15000 THEN 90 END AS BIGINT) "
-            "AS n_recall_hits, true AS recall_ok",
+            "WHEN 1500 THEN 91 WHEN 15000 THEN 90 WHEN 150000 THEN 94 "
+            "END AS BIGINT) AS n_recall_hits, true AS recall_ok",
         "ann_ivf_recall":
             "SELECT CAST(10 AS BIGINT) AS n_queries, "
             "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 83 WHEN 15000 THEN 78 END AS BIGINT) "
-            "AS n_recall_hits_sample, "
+            "WHEN 1500 THEN 83 WHEN 15000 THEN 78 WHEN 150000 THEN 78 "
+            "END AS BIGINT) AS n_recall_hits_sample, "
             "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 87 WHEN 15000 THEN 80 END AS BIGINT) "
-            "AS n_recall_hits_dist, "
+            "WHEN 1500 THEN 87 WHEN 15000 THEN 80 WHEN 150000 THEN 82 "
+            "END AS BIGINT) AS n_recall_hits_dist, "
             "true AS recall_ok, true AS dist_recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",

@@ -407,6 +407,8 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
 # fully handled.
 
 SPLIT_SCHEMA = "key int, shard int, n_fps long, payload binary"
+_SPLIT_PREFIX = "qfs_split_"
+_split_swept: set[str] = set()  # base dirs already swept this process
 _SAMPLES_PER_CHUNK = 64  # bounded per (task, shard) row => driver metadata
                          # stays KB-scale at ANY corpus size (RangePartitioner
                          # uses the same bounded-sample-per-partition idea)
@@ -548,8 +550,8 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
     the unsplit filter lives as a parquet table, with NO caller-side
     unpersist contract and nothing pinned in executor memory (the round-3
     API returned a persisted DataFrame the caller had to remember to
-    release). Delete the directory when the filter is retired;
-    ``filter_df.inputFiles()`` recovers it.
+    release). Call :func:`retire_split_filter` on the returned DataFrame
+    to delete the directory when the filter is retired.
     """
     import os
     import uuid
@@ -611,15 +613,42 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
     # DataFrame with an easy-to-forget unpersist contract)
     spark = df.sparkSession
     if path is None:
-        from ..sources import intermediate_dir
+        from ..sources import intermediate_dir, sweep_dead_intermediates
 
-        path = os.path.join(
-            intermediate_dir(spark),
-            f"qfs_split_{spark.sparkContext.applicationId}_{uuid.uuid4().hex[:8]}")
+        base = intermediate_dir(spark)
+        app = spark.sparkContext.applicationId
+        if base not in _split_swept:  # dead-session leftovers, once/process
+            _split_swept.add(base)
+            sweep_dead_intermediates(base, app, _SPLIT_PREFIX)
+        path = os.path.join(base,
+                            f"{_SPLIT_PREFIX}{app}_{uuid.uuid4().hex[:8]}")
     keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA) \
         .write.mode("errorifexists").parquet(path)
     chunks_df.unpersist()
-    return spark.read.schema(SPLIT_SCHEMA).parquet(path), directory
+    out = spark.read.schema(SPLIT_SCHEMA).parquet(path)
+    out._qfs_split_path = path  # lets retire_split_filter find an empty table
+    return out, directory
+
+
+def retire_split_filter(filter_df) -> None:
+    """Delete a split filter table's at-rest parquet directory — the
+    retire contract from :func:`build_sharded_filter_split`. The directory
+    is recovered from the path the builder attached, falling back to the
+    scan's input files (covers DataFrames re-created from the path by the
+    caller); an empty-table scan with no input files and no attached path
+    is a no-op."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    path = getattr(filter_df, "_qfs_split_path", None)
+    if path is None:
+        files = filter_df.inputFiles()
+        if not files:
+            return
+        p = urlparse(files[0]).path or files[0]
+        path = os.path.dirname(p)
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def _emit_split_chunks(df, spec_in: SketchSpec, directory: "ShardDirectory",

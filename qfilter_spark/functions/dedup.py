@@ -210,28 +210,12 @@ def _ngram_base_dir(spark) -> str:
 
 
 def _sweep_dead_tables(base: str, app: str) -> None:
-    """Remove intermediates left by DEAD sessions (best-effort, once per
-    process per base dir). The cutoff is long enough that another LIVE
-    session's table — written at its own start — is never swept from under
-    it; a concurrent session deleting its own entry mid-scan is skipped."""
-    import os
-    import shutil
-    import time
+    """Remove ngram intermediates left by DEAD sessions (best-effort, once
+    per process per base dir) — see sources.sweep_dead_intermediates."""
+    from ..sources import sweep_dead_intermediates
 
-    cutoff = time.time() - _NGRAM_EX_SWEEP_DAYS * 86_400
-    try:
-        entries = os.listdir(base)
-    except OSError:
-        return
-    for d in entries:
-        if not d.startswith(_NGRAM_EX_PREFIX) or app in d:
-            continue
-        p = os.path.join(base, d)
-        try:
-            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue  # raced with its owner's own cleanup
+    sweep_dead_intermediates(base, app, _NGRAM_EX_PREFIX,
+                             _NGRAM_EX_SWEEP_DAYS)
 
 
 def _drop_table(spark, table: str, path: str) -> None:

@@ -21,6 +21,33 @@ def intermediate_dir(spark) -> str:
                           tempfile.gettempdir())
 
 
+def sweep_dead_intermediates(base: str, app: str, prefix: str,
+                             max_age_days: int = 7) -> None:
+    """Best-effort removal of intermediates left by DEAD sessions under
+    ``base`` (dirs starting with ``prefix``, not owned by ``app``, older
+    than ``max_age_days``). The cutoff is long enough that another LIVE
+    session's intermediate — written at its own start — is never swept
+    from under it; entries deleted concurrently mid-scan are skipped."""
+    import os
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_days * 86_400
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for d in entries:
+        if not d.startswith(prefix) or app in d:
+            continue
+        p = os.path.join(base, d)
+        try:
+            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue  # raced with its owner's own cleanup
+
+
 def _has_iceberg(spark) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(

@@ -160,17 +160,10 @@ def table_column_range(sf_dir: str, name: str, col: str):
 
 
 def _drop_split_dir(filter_df: DataFrame) -> None:
-    """Retire a split filter table: delete its at-rest parquet directory
-    (recovered from the scan's input files — see
-    dist.sharded.build_sharded_filter_split)."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    """Retire a split filter table (dist.sharded.retire_split_filter)."""
+    from .dist.sharded import retire_split_filter
 
-    files = filter_df.inputFiles()
-    if files:
-        p = urlparse(files[0]).path or files[0]
-        shutil.rmtree(os.path.dirname(p), ignore_errors=True)
+    retire_split_filter(filter_df)
 
 
 def _one_row(spark: SparkSession, **cols) -> DataFrame:

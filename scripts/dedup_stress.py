@@ -24,7 +24,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("PYTHONPATH", REPO)
+# executors do NOT inherit the driver's sys.path — the repo must be on
+# PYTHONPATH (appended, not setdefault: a pre-set value would otherwise
+# silently drop the repo and kill workers with ModuleNotFoundError)
+_pp = os.environ.get("PYTHONPATH", "")
+if REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{REPO}{os.pathsep}{_pp}" if _pp else REPO
 
 
 def _tree_rss_kb() -> int:

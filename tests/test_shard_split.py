@@ -138,3 +138,22 @@ def test_split_probe_zero_false_negatives(spark, skewed, tmp_path):
          .groupBy().sum("n_probed", "n_contained").collect()[0])
     sk = spec.make()
     assert int(a[1]) / int(a[0]) <= 4 * sk.filter.max_error_ratio() + 0.001
+
+
+def test_retire_split_filter_removes_dir(spark, skewed, tmp_path):
+    import os
+
+    from qfilter_spark.dist.sharded import retire_split_filter
+
+    df, spec, n_shards, n = skewed
+    at_rest = str(tmp_path / "retire_me")
+    filt, _ = build_sharded_filter_split(df, spec, n_shards=n_shards,
+                                         max_fps_per_row=n // 6,
+                                         path=at_rest)
+    assert os.path.isdir(at_rest)
+    retire_split_filter(filt)
+    assert not os.path.exists(at_rest)
+    # a re-read DataFrame with no attached path and no files is a no-op
+    retire_split_filter(spark.range(0).selectExpr(
+        "cast(id as int) key", "cast(id as int) shard",
+        "id n_fps", "cast(null as binary) payload"))
