@@ -101,6 +101,18 @@ def _planted_emb_values_sql() -> str:
     return ", ".join(rows)
 
 
+# per-source HLL estimates at sf0.1 (measured, config-stable; the gate SFs
+# are exact so only the sf0.1 deviations need pinning — see hll_per_source)
+_HLL_SRC_SF01 = {
+    "src0": 250, "src1": 251, "src2": 250, "src3": 249, "src4": 250,
+    "src5": 250, "src6": 251, "src7": 252, "src8": 249, "src9": 252,
+    "src10": 250, "src11": 249, "src12": 248, "src13": 251, "src14": 247,
+    "src15": 249, "src16": 250, "src17": 250, "src18": 251, "src19": 248,
+}
+_HLL_SRC_SF01_VALUES = ", ".join(
+    f"('{s}', {e})" for s, e in sorted(_HLL_SRC_SF01.items()))
+
+
 def oracle_sql() -> dict[str, str]:
     toks = T.sql_ws_token_count()
     return {
@@ -171,9 +183,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE count(*) WHEN 1500 THEN 151 WHEN 15000 THEN 1507 "
             "WHEN 150000 THEN 14858 END AS BIGINT) AS hll_estimate, "
             "true AS hll_within_bound FROM orders",
+        # est: CMS point estimates are additive (merge-order invariant);
+        # at all pinned corpora the sketch has ZERO collision error, so
+        # the deterministic estimate equals the exact count — mirrored
+        # directly rather than as pinned constants
         "cms_heavy_hitters":
-            "SELECT source, count(*) AS exact_cnt, true AS est_within_bound "
-            "FROM documents GROUP BY source",
+            "SELECT source, count(*) AS exact_cnt, count(*) AS est, "
+            "true AS est_within_bound FROM documents GROUP BY source",
         "kll_quantiles":
             "SELECT CAST(pct AS BIGINT) AS pct, ok AS rank_within_bound FROM "
             "(VALUES (10, true), (25, true), (50, true), (75, true), (90, true)) "
@@ -268,9 +284,20 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT word, count(*) AS cnt FROM ("
             "    SELECT unnest(string_split(text, ' ')) AS word FROM documents"
             "  ) GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 10)",
+        # hll_estimate: per-source degree (register max is merge-order
+        # invariant, salted partials included). At the gate SFs every
+        # per-source estimate is exact; at sf0.1 the measured deviations
+        # are pinned as VALUES (config-stable under local[8] and
+        # local[32]).
         "hll_per_source":
-            "SELECT source, count(DISTINCT doc_id) AS exact_distinct, "
-            "true AS hll_within_bound FROM documents GROUP BY source",
+            "SELECT d.source AS source, "
+            "count(DISTINCT d.doc_id) AS exact_distinct, "
+            "CAST(CASE WHEN (SELECT count(*) FROM orders) = 150000 "
+            "THEN v.est ELSE count(DISTINCT d.doc_id) END AS BIGINT) "
+            "AS hll_estimate, true AS hll_within_bound "
+            "FROM documents d LEFT JOIN (VALUES " + _HLL_SRC_SF01_VALUES +
+            ") AS v(source, est) ON d.source = v.source "
+            "GROUP BY d.source, v.est",
         "merge_lineage_resume":
             "SELECT count(*) AS n_fps, CAST(4 AS BIGINT) AS n_rounds, "
             "true AS resume_identical FROM lineitem",

@@ -628,10 +628,16 @@ def q_cms_heavy_hitters(spark, sf_dir):
     truth = docs.groupBy("source", "h").agg(F.count("*").alias("exact_cnt"))
     est = probe_hashes(truth, blob, "h", out_col="est")
     eps_n = sketches.loads(blob).eps() * n
+    # est is carried as an exact DEGREE column: CMS updates are additive,
+    # hence merge-order invariant and engine-deterministic; at these
+    # corpus sizes the estimate has zero collision error, so the oracle
+    # mirrors it as count(*) — any future collision regression flips the
+    # gate by value, not just at the eps*n bound cliff
     return (est.withColumn("est_within_bound",
                            (F.col("est") >= F.col("exact_cnt"))
                            & (F.col("est") <= F.col("exact_cnt") + F.lit(float(eps_n)) + F.lit(1.0)))
-            .select("source", "exact_cnt", "est_within_bound"))
+            .select("source", "exact_cnt", F.col("est").cast("long").alias("est"),
+                    "est_within_bound"))
 
 
 def _quantile_check(spark, df, col, kind, params, tol_millis):
@@ -879,9 +885,14 @@ def q_hll_per_source(spark, sf_dir):
         sk = sketches.loads(bytes(r["payload"]))
         est, rsd = sk.estimate(), sk.relative_sd()  # bound from the sketch
         n = exact[r["source"]]
-        out.append((r["source"], int(n), bool(abs(est - n) <= 4 * rsd * n + 2)))
+        # hll_estimate: per-source degree, deterministic (register max is
+        # merge-order invariant, salted partials included) and mirrored in
+        # the oracle (== exact at the gate SFs, pinned VALUES at sf0.1)
+        out.append((r["source"], int(n), int(round(est)),
+                    bool(abs(est - n) <= 4 * rsd * n + 2)))
     return spark.createDataFrame(
-        out, "source string, exact_distinct long, hll_within_bound boolean")
+        out, "source string, exact_distinct long, hll_estimate long, "
+             "hll_within_bound boolean")
 
 
 def q_merge_lineage_resume(spark, sf_dir):
