@@ -101,6 +101,31 @@ def _planted_emb_values_sql() -> str:
     return ", ".join(rows)
 
 
+# Pinned DEGREE constants for the bound-boolean gate rows: every value is
+# engine-deterministic (merge-order-invariant builds, seeded hashes/
+# hyperplanes/k-means, fixed probe sets — verified identical under
+# local[8]/8, local[16]/64 and local[32]/200) and acts as a regression pin
+# DuckDB cannot derive. Keyed by corpus (orders row count: 1500=sf0.001,
+# 15000=sf0.01, 150000=sf0.1). A NEW testdata corpus is a ONE-PLACE edit:
+# measure the values (probe pattern in NOTES_NEXT_ROUND.md) and add a key
+# to each dict — an unpinned corpus deliberately mismatches (NULL).
+_DEGREE_PINS: dict[str, dict[int, int]] = {
+    "n_false_positives":    {1500: 191, 15000: 191, 150000: 228},
+    "hll_estimate":         {1500: 151, 15000: 1507, 150000: 14858},
+    "n_recall_hits":        {1500: 91, 15000: 90, 150000: 94},
+    "n_recall_hits_sample": {1500: 83, 15000: 78, 150000: 78},
+    "n_recall_hits_dist":   {1500: 87, 15000: 80, 150000: 82},
+}
+
+
+def _pin(name: str) -> str:
+    """SQL fragment: the pinned degree for the current corpus, AS name."""
+    whens = " ".join(f"WHEN {k} THEN {v}"
+                     for k, v in sorted(_DEGREE_PINS[name].items()))
+    return (f"CAST(CASE (SELECT count(*) FROM orders) {whens} END "
+            f"AS BIGINT) AS {name}")
+
+
 # per-source HLL estimates at sf0.1 (measured, config-stable; the gate SFs
 # are exact so only the sf0.1 deviations need pinning — see hll_per_source)
 _HLL_SRC_SF01 = {
@@ -118,19 +143,12 @@ def oracle_sql() -> dict[str, str]:
     return {
         "rsqf_membership":
             "SELECT count(*) AS n_probed, count(*) AS n_contained FROM documents",
-        # n_false_positives: engine-deterministic (merge-order-invariant
-        # build, fixed 50k absent probe set) and pinned PER CORPUS,
-        # discriminated by the orders row count like every pinned degree
-        # below (sf0.001 and sf0.01 share a value because their documents
-        # tables share the doc_id domain 0..499). A NEW corpus needs its
-        # constant measured and added here — the mismatch on an unpinned
-        # corpus is deliberate, the degrees are regression pins, not
-        # derivable quantities (DuckDB cannot evaluate the filter).
+        # degrees pinned via _DEGREE_PINS — see its comment (sf0.001 and
+        # sf0.01 share the fpr value because their documents tables share
+        # the doc_id domain 0..499)
         "rsqf_fpr":
             "SELECT CAST(50000 AS BIGINT) AS n_probes, "
-            "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 191 WHEN 15000 THEN 191 WHEN 150000 THEN 228 "
-            "END AS BIGINT) AS n_false_positives, "
+            f"{_pin('n_false_positives')}, "
             "true AS fpr_within_bound",
         "rsqf_counting":
             "SELECT count(DISTINCT o_custkey) AS n_keys, "
@@ -180,8 +198,7 @@ def oracle_sql() -> dict[str, str]:
         # (discriminated by the orders row count, as for the ann rows)
         "hll_distinct":
             "SELECT count(DISTINCT o_custkey) AS exact_distinct, "
-            "CAST(CASE count(*) WHEN 1500 THEN 151 WHEN 15000 THEN 1507 "
-            "WHEN 150000 THEN 14858 END AS BIGINT) AS hll_estimate, "
+            f"{_pin('hll_estimate')}, "
             "true AS hll_within_bound FROM orders",
         # est: CMS point estimates are additive (merge-order invariant);
         # at all pinned corpora the sketch has ZERO collision error, so
@@ -246,26 +263,15 @@ def oracle_sql() -> dict[str, str]:
             "  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q"
             "  CROSS JOIN embeddings e"
             ") WHERE rnk <= 10",
-        # recall hit counts (of 100 exact pairs) are deterministic —
-        # seeded hyperplanes / k-means, exact re-rank, single-split scans —
-        # and pinned PER CORPUS: the embeddings tables differ between SFs,
-        # so the constants are discriminated by corpus size via the orders
-        # row count (1500 at sf0.001, 15000 at sf0.01). Measured identical
-        # under local[8]/shuffle=8 and local[32]/shuffle=200.
+        # recall hit counts (of 100 exact pairs): pinned via _DEGREE_PINS
         "ann_lsh_recall":
             "SELECT CAST(10 AS BIGINT) AS n_queries, "
             "CAST(100 AS BIGINT) AS n_exact_pairs, "
-            "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 91 WHEN 15000 THEN 90 WHEN 150000 THEN 94 "
-            "END AS BIGINT) AS n_recall_hits, true AS recall_ok",
+            f"{_pin('n_recall_hits')}, true AS recall_ok",
         "ann_ivf_recall":
             "SELECT CAST(10 AS BIGINT) AS n_queries, "
-            "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 83 WHEN 15000 THEN 78 WHEN 150000 THEN 78 "
-            "END AS BIGINT) AS n_recall_hits_sample, "
-            "CAST(CASE (SELECT count(*) FROM orders) "
-            "WHEN 1500 THEN 87 WHEN 15000 THEN 80 WHEN 150000 THEN 82 "
-            "END AS BIGINT) AS n_recall_hits_dist, "
+            f"{_pin('n_recall_hits_sample')}, "
+            f"{_pin('n_recall_hits_dist')}, "
             "true AS recall_ok, true AS dist_recall_ok",
         "streaming_sketch":
             "SELECT count(*) AS n_items, true AS len_matches FROM events",

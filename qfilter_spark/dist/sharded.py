@@ -408,7 +408,6 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
 
 SPLIT_SCHEMA = "key int, shard int, n_fps long, payload binary"
 _SPLIT_PREFIX = "qfs_split_"
-_split_swept: set[str] = set()  # base dirs already swept this process
 _SAMPLES_PER_CHUNK = 64  # bounded per (task, shard) row => driver metadata
                          # stays KB-scale at ANY corpus size (RangePartitioner
                          # uses the same bounded-sample-per-partition idea)
@@ -617,9 +616,8 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
 
         base = intermediate_dir(spark)
         app = spark.sparkContext.applicationId
-        if base not in _split_swept:  # dead-session leftovers, once/process
-            _split_swept.add(base)
-            sweep_dead_intermediates(base, app, _SPLIT_PREFIX)
+        # dead-session leftovers; once per (base, prefix) per process
+        sweep_dead_intermediates(base, app, _SPLIT_PREFIX)
         path = os.path.join(base,
                             f"{_SPLIT_PREFIX}{app}_{uuid.uuid4().hex[:8]}")
     keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA) \

@@ -199,7 +199,6 @@ _NGRAM_EX_KEEP = 2          # content-addressed tables kept live per session
 _NGRAM_EX_SWEEP_DAYS = 7    # dead-session dirs older than this are removed
 # (appId, plan_hash, n_buckets) -> (table, path); insertion-ordered LRU
 _ngram_ex_cache: dict[tuple[str, int, int], tuple[str, str]] = {}
-_ngram_ex_swept: set[str] = set()  # base dirs already swept this process
 
 
 def _ngram_base_dir(spark) -> str:
@@ -254,9 +253,7 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
 
     base = _ngram_base_dir(spark)
     app = spark.sparkContext.applicationId
-    if base not in _ngram_ex_swept:
-        _ngram_ex_swept.add(base)
-        _sweep_dead_tables(base, app)
+    _sweep_dead_tables(base, app)  # once per (base, prefix) per process
 
     key = (app, df.semanticHash(), n_buckets)
     hit = _ngram_ex_cache.get(key)

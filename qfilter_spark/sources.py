@@ -21,17 +21,24 @@ def intermediate_dir(spark) -> str:
                           tempfile.gettempdir())
 
 
+_swept: set[tuple[str, str]] = set()  # (base, prefix) done this process
+
+
 def sweep_dead_intermediates(base: str, app: str, prefix: str,
                              max_age_days: int = 7) -> None:
     """Best-effort removal of intermediates left by DEAD sessions under
     ``base`` (dirs starting with ``prefix``, not owned by ``app``, older
-    than ``max_age_days``). The cutoff is long enough that another LIVE
-    session's intermediate — written at its own start — is never swept
-    from under it; entries deleted concurrently mid-scan are skipped."""
+    than ``max_age_days``), once per (base, prefix) per process. The
+    cutoff is long enough that another LIVE session's intermediate —
+    written at its own start — is never swept from under it; entries
+    deleted concurrently mid-scan are skipped."""
     import os
     import shutil
     import time
 
+    if (base, prefix) in _swept:
+        return
+    _swept.add((base, prefix))
     cutoff = time.time() - max_age_days * 86_400
     try:
         entries = os.listdir(base)

@@ -159,13 +159,6 @@ def table_column_range(sf_dir: str, name: str, col: str):
     return lo, hi
 
 
-def _drop_split_dir(filter_df: DataFrame) -> None:
-    """Retire a split filter table (dist.sharded.retire_split_filter)."""
-    from .dist.sharded import retire_split_filter
-
-    retire_split_filter(filter_df)
-
-
 def _one_row(spark: SparkSession, **cols) -> DataFrame:
     names = ", ".join(
         f"{k} {'boolean' if isinstance(v, bool) else 'long' if isinstance(v, (int, np.integer)) else 'string'}"
@@ -497,7 +490,8 @@ def q_rsqf_sharded_skew(spark, sf_dir):
     single-blob filter and probes find every inserted fingerprint.
     """
     from .dist.sharded import (_fp_meta, build_sharded_filter_split,
-                               probe_sharded_split, split_to_single)
+                               probe_sharded_split, retire_split_filter,
+                               split_to_single)
 
     ev = load(spark, sf_dir, "events")
     n = table_rows(sf_dir, "events")
@@ -527,7 +521,7 @@ def q_rsqf_sharded_skew(spark, sf_dir):
         stats = (probe_sharded_split(df, spec, filt, directory, spec)
                  .groupBy().sum("n_probed", "n_contained").collect()[0])
     finally:
-        _drop_split_dir(filt)
+        retire_split_filter(filt)
     return _one_row(spark,
                     n_probed=int(stats[0]), n_contained=int(stats[1]),
                     hot_shard_split=bool(shape["rows"] > n_shards + 1),
@@ -555,8 +549,9 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
     """
     from .dist.sharded import (build_sharded_filter, build_sharded_filter_split,
                                probe_sharded_split, remove_sharded,
-                               remove_sharded_split, sharded_to_single,
-                               shrink_sharded, split_to_single)
+                               remove_sharded_split, retire_split_filter,
+                               sharded_to_single, shrink_sharded,
+                               split_to_single)
 
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
     n = table_rows(sf_dir, "events")
@@ -594,7 +589,7 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
         after.unpersist()
         shrunk.unpersist()
     finally:
-        _drop_split_dir(filt)
+        retire_split_filter(filt)
     return _one_row(spark, len_after=int(len_after),
                     n_remaining_contained=int(stats["n"]),
                     split_remove_equals_sharded=identical,
@@ -636,7 +631,7 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return (est.withColumn("est_within_bound",
                            (F.col("est") >= F.col("exact_cnt"))
                            & (F.col("est") <= F.col("exact_cnt") + F.lit(float(eps_n)) + F.lit(1.0)))
-            .select("source", "exact_cnt", F.col("est").cast("long").alias("est"),
+            .select("source", "exact_cnt", F.col("est"),
                     "est_within_bound"))
 
 
