@@ -149,3 +149,29 @@ def test_intermediate_dir_conf_respected(spark, tmp_path):
         assert os.path.isdir(path)
     finally:
         spark.conf.unset("spark.qfilter.intermediateDir")
+
+
+def test_long_document_shingling_not_quadratic(spark):
+    """Canary for the round-4 CollapseProject quadratic: shingle-hash and
+    explode 48 long (4096-word) docs. The zip-of-slices construction does
+    this in ~1-3 s; the old per-element-indexing form re-evaluated an
+    O(len) expression per shingle (interpreted) and took minutes at this
+    shape. The 60 s budget is ~20x the expected time — far above steal
+    noise, far below the quadratic's cost."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    docs = (spark.range(48).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(0), F.lit(4095)),
+            lambda i: (F.xxhash64(i + F.col("id") * 4096) % 50000)
+            .cast("string"))).alias("text")))
+    t0 = time.perf_counter()
+    n = (dedup.with_shingle_hashes(dedup.with_shingles(docs))
+         .select(F.explode("shingle_hashes").alias("hs"))
+         .groupBy("hs").count().count())
+    elapsed = time.perf_counter() - t0
+    assert n > 100_000          # the shingles were really computed
+    assert elapsed < 60, f"shingling 48x4096-word docs took {elapsed:.0f}s"
