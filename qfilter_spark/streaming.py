@@ -8,8 +8,10 @@ remove, src/lib.rs:1131-1214); the streaming analog here maintains a
 
 Per micro-batch: build partial sketches of the new rows (the same
 ``mapInArrow`` kernel as the batch path), merge them with the current table
-generation, and write generation N+1 atomically (write-then-swap directories
-with a _GEN marker). Restart-safe: Spark's streaming checkpoint replays the
+generation, and write generation N+1 atomically (write into a ``.tmp-gen=*``
+directory — a name the generation lister ignores — then rename; a
+``gen=<k>`` directory containing ``meta.json`` IS the commit record).
+Restart-safe: Spark's streaming checkpoint replays the
 last uncommitted batch, and re-merging a batch into the generation it
 already produced is NOT applied twice because each generation directory
 records the batch id it incorporated.
@@ -41,6 +43,7 @@ def apply_changelog(sk, h: np.ndarray, is_ins: np.ndarray,
     not drift the counter."""
     if h.size == 0:
         return n_items
+    is_ins = np.asarray(is_ins, dtype=bool)  # any 0/1-ish dtype accepted
     cuts = np.flatnonzero(np.diff(is_ins.view(np.int8))) + 1
     for seg, seg_ins in zip(np.split(h, cuts),
                             is_ins[np.concatenate([[0], cuts])]):
@@ -58,8 +61,15 @@ def apply_changelog(sk, h: np.ndarray, is_ins: np.ndarray,
     return n_items
 
 
+def _sketch_len(sk, n_items: int) -> int:
+    """Physical sketch size when the kind exposes one (RSQF multiset
+    len), else the tracked item count (HLL/CMS/... have no len)."""
+    return int(len(sk.filter) if hasattr(sk, "filter") else n_items)
+
+
 def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
-                        hash_col: str = "h", op_col: str | None = None):
+                        hash_col: str = "h", op_col: str | None = None,
+                        seq_col: str | None = None):
     """Per-key streaming sketches via ``applyInPandasWithState``.
 
     A custom stateful operator (the prompt's 'applyInPandasWithState for
@@ -71,12 +81,16 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
     insertions, rows with op < 0 are retractions — the reference filter's
     incremental insert/remove pair (src/lib.rs:1056-1129) as streaming
     state. Retractions require a sketch kind with ``remove_hashes``
-    (RSQF). Changelog ROW ORDER is respected: ops apply as maximal
-    consecutive same-op runs (vectorized per run), so a retract-then-
-    reinsert of the same key inside one batch lands inserted, and an
-    insert-then-retract nets out. ``n_items`` tracks the sketch's ACTUAL
-    multiset size (retracting an absent key is a clamped no-op, exactly
-    as in the reference, and does not drift the counter).
+    (RSQF). Ops apply as maximal consecutive same-op runs (vectorized per
+    run) in DELIVERED order, which equals source order only while a key's
+    batch rows come from one input partition — the shuffle does not order
+    rows arriving from different source partitions. When intra-batch
+    insert/retract pairs of the same key can span partitions, pass
+    ``seq_col`` (a monotonically increasing sequence column): each batch's
+    rows are then stably sorted by it before applying, restoring a total
+    order. ``n_items`` tracks the sketch's ACTUAL multiset size
+    (retracting an absent key is a clamped no-op, exactly as in the
+    reference, and does not drift the counter).
 
     Returns the transformed streaming DataFrame (caller starts the query).
     """
@@ -84,7 +98,13 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     key_type = stream_df.schema[key_col].dataType.simpleString()
-    if op_col is not None and not hasattr(spec.make(), "remove_hashes"):
+    probe = spec.make()
+    if not hasattr(probe, "update_hashes"):
+        raise TypeError(
+            f"sketch kind {spec.kind!r} has no update_hashes — hash-column "
+            "streams need a hash-mode sketch (kll/tdigest are values-mode); "
+            "failing eagerly on the driver instead of per-executor")
+    if op_col is not None and not hasattr(probe, "remove_hashes"):
         raise TypeError(f"sketch kind {spec.kind!r} does not support "
                         "retraction (needs remove_hashes)")
 
@@ -94,6 +114,7 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             sk = sketches.loads(bytes(blob))
         else:
             sk, n_items = spec.make(), 0
+        hs, ops, seqs = [], [], []
         for pdf in pdf_iter:
             h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
             if h.size == 0:
@@ -101,13 +122,20 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             if op_col is None:
                 sk.update_hashes(h)
                 n_items += int(h.size)
-            else:
-                n_items = apply_changelog(
-                    sk, h, pdf[op_col].to_numpy() >= 0, n_items)
+            else:  # buffer the batch's slices so seq_col can total-order
+                hs.append(h)
+                ops.append(pdf[op_col].to_numpy() >= 0)
+                if seq_col is not None:
+                    seqs.append(pdf[seq_col].to_numpy())
+        if hs:
+            h, op = np.concatenate(hs), np.concatenate(ops)
+            if seq_col is not None:
+                order = np.argsort(np.concatenate(seqs), kind="stable")
+                h, op = h[order], op[order]
+            n_items = apply_changelog(sk, h, op, n_items)
         state.update((sk.to_bytes(), n_items))
-        length = len(sk.filter) if hasattr(sk, "filter") else n_items
         yield pd.DataFrame({key_col: [key[0]], "n_items": [n_items],
-                            "sketch_len": [int(length)]})
+                            "sketch_len": [_sketch_len(sk, n_items)]})
 
     return (stream_df
             .groupBy(key_col)
@@ -136,6 +164,11 @@ def windowed_sketch_stream(stream_df, spec: SketchSpec, ts_col: str,
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if not hasattr(spec.make(), "update_hashes"):
+        raise TypeError(
+            f"sketch kind {spec.kind!r} has no update_hashes — hash-column "
+            "streams need a hash-mode sketch (kll/tdigest are values-mode)")
+
     win = (F.floor(F.unix_timestamp(F.col(ts_col)) / window_secs)
            * window_secs).cast("long").alias("win_start")
     src = (stream_df
@@ -147,10 +180,10 @@ def windowed_sketch_stream(stream_df, spec: SketchSpec, ts_col: str,
         if state.hasTimedOut:
             blob, n_items = state.get
             sk = sketches.loads(bytes(blob))
-            length = len(sk.filter) if hasattr(sk, "filter") else n_items
+            length = _sketch_len(sk, n_items)
             state.remove()
             yield pd.DataFrame({"win_start": [win_start], "n_items": [n_items],
-                                "sketch_len": [int(length)], "final": [True]})
+                                "sketch_len": [length], "final": [True]})
             return
         if state.exists:
             blob, n_items = state.get
@@ -162,11 +195,19 @@ def windowed_sketch_stream(stream_df, spec: SketchSpec, ts_col: str,
             sk.update_hashes(h)
             n_items += int(h.size)
         state.update((sk.to_bytes(), n_items))
-        # finalize once the watermark passes the window end
-        state.setTimeoutTimestamp((win_start + window_secs) * 1000)
-        length = len(sk.filter) if hasattr(sk, "filter") else n_items
+        # finalize once the watermark passes the window end — clamped just
+        # past the CURRENT eviction watermark: Spark filters late rows with
+        # the PREVIOUS batch's watermark but validates timeout timestamps
+        # against the current one, so a legitimately-admitted late row for
+        # an already-expired window would otherwise raise
+        # INVALID_TIMEOUT_TIMESTAMP and wedge the query (checkpoint replay
+        # re-crashes); the clamp finalizes that window at the next trigger
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((win_start + window_secs) * 1000,
+                                      wm + 1))
         yield pd.DataFrame({"win_start": [win_start], "n_items": [n_items],
-                            "sketch_len": [int(length)], "final": [False]})
+                            "sketch_len": [_sketch_len(sk, n_items)],
+                            "final": [False]})
 
     return (src.groupBy("win_start")
             .applyInPandasWithState(
@@ -224,13 +265,26 @@ class StreamingSketch:
         # between write and rename can never corrupt generation listing
         tmp = os.path.join(self.state_dir, f".tmp-gen={gen}")
         os.makedirs(tmp, exist_ok=True)
+        # fsync file contents before the rename and the parent dir after:
+        # a journaled rename without flushed data blocks could otherwise
+        # survive a power loss as a committed generation with a truncated
+        # sketch.bin that current() can never load again
         with open(os.path.join(tmp, "sketch.bin"), "wb") as f:
             f.write(sk.to_bytes())
+            f.flush()
+            os.fsync(f.fileno())
         with open(os.path.join(tmp, "meta.json"), "w") as f:
             json.dump(meta, f)
+            f.flush()
+            os.fsync(f.fileno())
         if os.path.exists(d):
             shutil.rmtree(d)
         os.rename(tmp, d)
+        dfd = os.open(self.state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         # retain only the latest two generations
         for g in self._gens()[:-2]:
             shutil.rmtree(os.path.join(self.state_dir, f"gen={g}"),
@@ -240,8 +294,18 @@ class StreamingSketch:
     def update(self, batch_df, batch_id: int) -> None:
         """foreachBatch(batch_df, batch_id): fold the micro-batch in."""
         cur, meta, gen = self.current()
-        if batch_id <= meta["batch_id"]:
+        if batch_id == meta["batch_id"]:
             return  # replayed batch already incorporated (exactly-once)
+        if batch_id < meta["batch_id"]:
+            # Spark only ever replays the LAST batch; an id strictly below
+            # the committed one means a fresh/reset checkpoint is driving
+            # an old state_dir — silently dropping every batch until the
+            # ids catch up would lose data, so fail loudly instead
+            raise ValueError(
+                f"batch_id {batch_id} < committed {meta['batch_id']}: the "
+                "streaming checkpoint was reset but state_dir "
+                f"{self.state_dir!r} was not — point the query at a fresh "
+                "state_dir or restore the original checkpoint")
         rows = partial_sketches(batch_df, self.spec).collect()
         acc = cur if cur is not None else self.spec.make()
         n_new = 0

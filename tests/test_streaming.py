@@ -248,3 +248,95 @@ def test_windowed_sketch_stream_finalizes_on_watermark(spark, tmp_path):
     assert len(finals) >= 2, finals
     for w, (n, length) in finals.items():
         assert n > 0 and length == n  # rate values are distinct
+
+
+def test_windowed_stream_survives_late_admitted_row(spark, tmp_path):
+    """Round-4 fix: a late-but-admitted row for a window whose end is
+    already below the EVICTION watermark (Spark filters lateness with the
+    previous batch's watermark but validates timeout timestamps against
+    the current one) must finalize at the next trigger, not raise
+    INVALID_TIMEOUT_TIMESTAMP and wedge the query. Reproduced as a crash
+    against the unclamped code."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.streaming import windowed_sketch_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def chunk(i, ts_secs):
+        tbl = pa.table({
+            "ts": pa.array([int(t * 1e6) for t in ts_secs],
+                           pa.timestamp("us")),
+            "event_id": pa.array(list(range(len(ts_secs))), pa.int64()),
+        })
+        p = str(src / f"{i:02d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    chunk(0, [30, 59, 65])   # windows 0 and 60; watermark after b0 = 64
+    chunk(1, [1000])         # watermark jumps to 999
+    chunk(2, [70])           # admitted late row; window [60,120) end < wm
+    chunk(3, [10_000])       # flush
+
+    spec = SketchSpec("rsqf", dict(capacity=1024, fp_rate=0.01),
+                      "hash_col", "h")
+    stream = (spark.readStream.schema("ts timestamp, event_id long")
+              .option("maxFilesPerTrigger", 1).parquet(str(src))
+              .withColumn("h", F.xxhash64("event_id")))
+    out = windowed_sketch_stream(stream, spec, "ts", window_secs=60,
+                                 watermark_delay="1 second")
+    finals = []
+
+    def sink(bdf, bid):
+        finals.extend((int(r["win_start"]), int(r["n_items"]))
+                      for r in bdf.where("final").collect())
+
+    q = (out.writeStream.foreachBatch(sink).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "late_ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = dict(sorted(finals))
+    # the late row ts=70 still lands in window 60 (finalized next trigger)
+    assert got[0] == 2 and got[60] == 2 and got[960] == 1, got
+
+
+def test_hash_stream_rejects_values_mode_sketch(spark):
+    """Round-4 fix: kll/tdigest have no update_hashes — hash-column stream
+    builders must fail eagerly on the driver, not per-executor."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.streaming import (keyed_sketch_stream,
+                                         windowed_sketch_stream)
+
+    stream = (spark.readStream.format("rate").load()
+              .select(F.col("timestamp").alias("ts"),
+                      F.lit(0).cast("long").alias("k"),
+                      F.xxhash64("value").alias("h")))
+    kll = SketchSpec("kll", dict(k=200), "values", "h")
+    with pytest.raises(TypeError, match="update_hashes"):
+        keyed_sketch_stream(stream, kll, key_col="k")
+    with pytest.raises(TypeError, match="update_hashes"):
+        windowed_sketch_stream(stream, kll, "ts", window_secs=60)
+
+
+def test_streaming_sketch_rejects_checkpoint_reset(tmp_path):
+    """Round-4 fix: a batch id strictly below the committed one means a
+    reset checkpoint is driving an old state_dir — raise instead of
+    silently dropping every batch until the ids catch up."""
+    from qfilter_spark.streaming import StreamingSketch
+
+    spec = SketchSpec("rsqf", dict(capacity=256, fp_rate=0.01),
+                      "hash_col", "h")
+    ss = StreamingSketch(spec, str(tmp_path / "state"))
+    sk = spec.make()
+    ss._write_gen(0, sk, {"batch_id": 7, "n_items": 0, "ts": 0.0})
+    ss.update(None, 7)   # exact replay of the committed batch: no-op
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        ss.update(None, 3)
