@@ -188,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "rsqf_split_remove_shrink":
             "SELECT count(*) FILTER (WHERE event_id % 3 <> 0) AS len_after, "
             "count(*) FILTER (WHERE event_id % 3 <> 0) AS n_remaining_contained, "
+            "true AS really_split, "
             "true AS split_remove_equals_sharded, "
             "true AS shrink_reclaimed_bytes FROM events",
         "ngram_sketch_tokens":

@@ -389,6 +389,23 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("doc_a", "doc_b", "jacc_millis"))
 
 
+def simhash_filter_pairs(cand: DataFrame, sig: DataFrame,
+                         max_hamming: int = 12) -> DataFrame:
+    """Hamming-filter candidate pairs against a signature table: the ONE
+    implementation of the cand-join-simhash-bit_count plan, shared by
+    :func:`simhash_near_pairs` and the gate query (which reuses its own
+    cand/sig to also drive the exact-Jaccard verify)."""
+    s = sig.select("doc_id", "simhash")
+    out = (cand
+           .join(s.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("simhash", "sim_a"), "doc_a")
+           .join(s.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("simhash", "sim_b"), "doc_b")
+           .withColumn("hamming",
+                       F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
+    return out.where(F.col("hamming") <= max_hamming)               .select("doc_a", "doc_b", "hamming")
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", max_hamming: int = 12) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance over LSH candidates."""
@@ -396,12 +413,7 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     hashed = with_shingle_hashes(sh)
     sig = minhash_signatures(hashed, id_col=id_col)
     cand = lsh_candidate_pairs(sig)
-    s = sig.select("doc_id", "simhash")
-    out = (cand
-           .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sim_a"), "doc_a")
-           .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sim_b"), "doc_b")
-           .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))))
-    return out.where(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+    return simhash_filter_pairs(cand, sig, max_hamming)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:

@@ -17,7 +17,6 @@ from . import sketches
 from .dist import SketchSpec, build_sketch, partial_sketches
 from .dist.probe import probe_hashes
 from .functions import ann, dedup, multimodal, text as T
-from .hashing import xxh64_u64
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -116,6 +115,13 @@ def _write_stream_chunks(df: DataFrame, src: str, chunk_col,
         dst = os.path.join(src, f"{start + i:02d}.parquet")
         shutil.move(parts[0], dst)
         os.utime(dst, (1_700_000_000 + start + i, 1_700_000_000 + start + i))
+    # fail LOUDLY if any row landed outside the expected chunk ids — a
+    # NULL chunk expression writes __chunk=__HIVE_DEFAULT_PARTITION__,
+    # which the move loop above would silently drop from the replay
+    stray = [e for e in os.listdir(tmp)
+             if e.startswith("__chunk=")
+             and not e[len("__chunk="):].isdigit()]
+    assert not stray, f"rows with NULL/non-integer chunk ids: {stray}"
     shutil.rmtree(tmp, ignore_errors=True)
 
 
@@ -561,11 +567,16 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
     removals = ev.where("event_id % 3 = 0")
     keep = ev.where("event_id % 3 != 0")
 
-    # force real splits so the remove path exercises the directory routing
+    # force real splits so the remove path exercises the directory
+    # routing: uniform hashes put ~n/16 fingerprints in each of the 16
+    # shards, so the bound must sit BELOW n/16 (the round-3 max(64, n//8)
+    # never split anything and the gate silently degenerated to the
+    # unsplit case); really_split asserts the multi-row layout happened
     filt, directory = build_sharded_filter_split(
         fan_out(ev), spec, n_shards=n_shards,
-        max_fps_per_row=max(64, n // 8))
+        max_fps_per_row=max(16, n // 32))
     try:
+        n_split_rows = filt.count()
         after = remove_sharded_split(filt, removals, spec, directory,
                                      spec).cache()
         bytes_before = after.agg(F.sum(F.length("payload")).alias("b")) \
@@ -592,6 +603,7 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
         retire_split_filter(filt)
     return _one_row(spark, len_after=int(len_after),
                     n_remaining_contained=int(stats["n"]),
+                    really_split=bool(n_split_rows > n_shards),
                     split_remove_equals_sharded=identical,
                     shrink_reclaimed_bytes=bool(bytes_after < bytes_before))
 
@@ -731,15 +743,12 @@ def q_dedup_simhash(spark, sf_dir):
         dedup.with_shingles(docs.select("doc_id", "text")))
     sig = dedup.minhash_signatures(hashed)
     cand = dedup.lsh_candidate_pairs(sig)
-    s = sig.select("doc_id", "simhash")
-    sim = (cand
-           .join(s.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("simhash", "sim_a"), "doc_a")
-           .join(s.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("simhash", "sim_b"), "doc_b")
-           .withColumn("hamming",
-                       F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-           .where(F.col("hamming") <= 20).select("doc_a", "doc_b"))
+    # (sig/hashed are deliberately NOT cached: the returned plan is lazy,
+    # so a .cache() here would pin executor memory for the session, and
+    # re-execution of the branches is cheaper than a lifetime pin at gate
+    # scale; a warehouse run would checkpoint sig to a table instead)
+    sim = dedup.simhash_filter_pairs(cand, sig, max_hamming=20) \
+        .select("doc_a", "doc_b")
     verified = (dedup.exact_jaccard_pairs(cand, hashed,
                                           shingle_col="shingle_hashes")
                 .where(F.col("jacc_millis") >= 800).select("doc_a", "doc_b"))
