@@ -133,22 +133,30 @@ def _merge_group_fn(spec_unused=None):
 
 
 def tree_merge(partials, fan_in: int = 16, lineage=None, n_partials: int | None = None,
-               write_initial: bool = True):
+               write_initial: bool = True, round_offset: int = 0):
     """Reduce the partials DataFrame to a single sketch blob (bytes).
 
     Explicit tree: each round shuffles only small blobs into
     ``ceil(n / fan_in)`` groups — never a single hot reducer until the last
     round, which merges <= fan_in blobs. With ``lineage`` (a
     :class:`qfilter_spark.dist.checkpoint.MergeLineage`), every round is
-    persisted and the reduction is resumable.
+    persisted and the reduction is resumable; ``round_offset`` shifts the
+    on-disk round numbering when continuing an interrupted run (resume
+    passes the last complete round), keeping one consistent numbering
+    between this loop and the checkpoint directory.
     """
     from pyspark.sql import functions as F
 
     current = partials
     n = n_partials if n_partials is not None else current.count()
-    rnd = 0
-    if lineage is not None and write_initial:
-        current = lineage.write_round(current, rnd)
+    rnd = round_offset
+    if lineage is not None:
+        if write_initial:
+            # the start of a fresh checkpointed run: record the merge
+            # shape so resume can default to the same fan_in
+            if hasattr(lineage, "record_fan_in"):
+                lineage.record_fan_in(fan_in)
+            current = lineage.write_round(current, rnd)
     merge_fn = _merge_group_fn()
     while n > 1:
         rnd += 1

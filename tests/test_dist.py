@@ -260,3 +260,38 @@ def test_quantile_sketch_distributed(spark, corpus_df):
         est = sk.quantile(q)
         rank = np.searchsorted(true, est, side="right") / N_DOCS
         assert abs(rank - q) <= 0.05, (q, est, rank)
+
+
+def test_resume_defaults_to_manifest_fan_in(spark, corpus_df, ngram_spec,
+                                            tmp_path):
+    """Round-4 fix: resume without an explicit fan_in must reuse the
+    original run's (recorded in manifest.json), not a different default —
+    a different fan_in regroups shards and is bytes-visible for the
+    weakly order-dependent quantile sketches."""
+    ckpt = str(tmp_path / "lineage_manifest")
+    parts = partial_sketches(corpus_df, ngram_spec)
+    lineage = MergeLineage(spark, ckpt)
+    blob = tree_merge(parts, fan_in=2, lineage=lineage, n_partials=8)
+    assert lineage.manifest_fan_in() == 2
+    rounds = lineage.complete_rounds()
+    for rnd in rounds[2:]:
+        shutil.rmtree(os.path.join(ckpt, f"round={rnd}"))
+    assert resume_tree_merge(spark, ckpt) == blob  # no fan_in passed
+
+
+def test_reused_lineage_dir_invalidates_stale_rounds(spark, corpus_df,
+                                                     ngram_spec, tmp_path):
+    """Round-4 fix: a new run writing round K into a reused directory must
+    delete every round > K — otherwise a crash mid-run would resume into
+    the PREVIOUS run's highest complete round and silently return the
+    previous run's data."""
+    ckpt = str(tmp_path / "lineage_reuse")
+    parts = partial_sketches(corpus_df, ngram_spec)
+    lineage = MergeLineage(spark, ckpt)
+    tree_merge(parts, fan_in=2, lineage=lineage, n_partials=8)
+    old_rounds = lineage.complete_rounds()
+    assert len(old_rounds) >= 3
+    # new run reuses the directory: its FIRST write must clear the rest
+    lineage.write_round(parts, 0)
+    assert lineage.complete_rounds() == [0]
+    assert not os.path.exists(os.path.join(ckpt, f"round={old_rounds[-1]}"))
