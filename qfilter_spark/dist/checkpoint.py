@@ -138,6 +138,11 @@ def resume_tree_merge(spark, directory: str, fan_in: int | None = None) -> bytes
         raise FileNotFoundError(f"no complete merge round under {directory}")
     if fan_in is None:
         fan_in = lineage.manifest_fan_in() or 16
+    elif fan_in != lineage.manifest_fan_in():
+        # an explicit override becomes the checkpoint's truth: a LATER
+        # crash-and-resume must regroup with the fan_in that actually
+        # produced the rounds written from here on, not the original one
+        lineage.record_fan_in(fan_in)
     df = lineage.read_round(last)
     n = df.count()
     return tree_merge(df, fan_in=fan_in, lineage=lineage,

@@ -617,9 +617,10 @@ def build_sharded_filter_split(df, spec: SketchSpec, n_shards: int = 64,
         base = intermediate_dir(spark)
         app = spark.sparkContext.applicationId
         # dead-session leftovers; once per (base, prefix) per process
-        sweep_dead_intermediates(base, app, _SPLIT_PREFIX)
-        path = os.path.join(base,
-                            f"{_SPLIT_PREFIX}{app}_{uuid.uuid4().hex[:8]}")
+        sweep_dead_intermediates(spark, base, app, _SPLIT_PREFIX)
+        from ..fsutil import child
+
+        path = child(base, f"{_SPLIT_PREFIX}{app}_{uuid.uuid4().hex[:8]}")
     keyed.groupBy("key").applyInPandas(merge_row, SPLIT_SCHEMA) \
         .write.mode("errorifexists").parquet(path)
     chunks_df.unpersist()
@@ -634,19 +635,20 @@ def retire_split_filter(filter_df) -> None:
     is recovered from the path the builder attached, falling back to the
     scan's input files (covers DataFrames re-created from the path by the
     caller); an empty-table scan with no input files and no attached path
-    is a no-op."""
-    import os
-    import shutil
-    from urllib.parse import urlparse
+    is a no-op. Deletion goes through the session's Hadoop FileSystem,
+    keeping the full URI: a remote table (``hdfs://``/``s3a://`` — the
+    ``intermediateDir`` conf explicitly invites remote scratch) is really
+    freed, and the scheme is never stripped down to a bare path that
+    could name an unrelated directory on the driver's local disk."""
+    from ..fsutil import delete
 
     path = getattr(filter_df, "_qfs_split_path", None)
     if path is None:
         files = filter_df.inputFiles()
         if not files:
             return
-        p = urlparse(files[0]).path or files[0]
-        path = os.path.dirname(p)
-    shutil.rmtree(path, ignore_errors=True)
+        path = files[0].rsplit("/", 1)[0]
+    delete(filter_df.sparkSession, path)
 
 
 def _emit_split_chunks(df, spec_in: SketchSpec, directory: "ShardDirectory",

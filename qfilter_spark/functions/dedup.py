@@ -197,8 +197,9 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 _NGRAM_EX_PREFIX = "qfs_ngram_ex"
 _NGRAM_EX_KEEP = 2          # content-addressed tables kept live per session
 _NGRAM_EX_SWEEP_DAYS = 7    # dead-session dirs older than this are removed
-# (appId, plan_hash, n_buckets) -> (table, path); insertion-ordered LRU
-_ngram_ex_cache: dict[tuple[str, int, int], tuple[str, str]] = {}
+# (appId, base_dir, plan_hash, content_stamp, n_buckets) -> (table, path);
+# insertion-ordered LRU
+_ngram_ex_cache: dict[tuple[str, str, int, int, int], tuple[str, str]] = {}
 
 
 def _ngram_base_dir(spark) -> str:
@@ -208,20 +209,20 @@ def _ngram_base_dir(spark) -> str:
     return intermediate_dir(spark)
 
 
-def _sweep_dead_tables(base: str, app: str) -> None:
+def _sweep_dead_tables(spark, base: str, app: str) -> None:
     """Remove ngram intermediates left by DEAD sessions (best-effort, once
     per process per base dir) — see sources.sweep_dead_intermediates."""
     from ..sources import sweep_dead_intermediates
 
-    sweep_dead_intermediates(base, app, _NGRAM_EX_PREFIX,
+    sweep_dead_intermediates(spark, base, app, _NGRAM_EX_PREFIX,
                              _NGRAM_EX_SWEEP_DAYS)
 
 
 def _drop_table(spark, table: str, path: str) -> None:
-    import shutil
+    from .. import fsutil
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(path, ignore_errors=True)
+    fsutil.delete(spark, path)
 
 
 def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
@@ -235,31 +236,37 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
     cache pin.
 
     Tables are keyed by the canonicalized logical plan
-    (``df.semanticHash()``), so a repeated call over the same input —
-    common when tuning ``threshold_millis`` / ``max_df``, which live
-    DOWNSTREAM of this table — reuses the existing table instead of paying
-    the write again (the round-3 cold cost, ~5-10 s at sf0.1). The plan
-    hash identifies parquet inputs by path: overwriting the source files
-    mid-session would serve the stale table (don't). Literal in-memory
-    inputs hash conservatively (fresh exprIds per creation), so they never
-    false-share. The last ``_NGRAM_EX_KEEP`` distinct inputs stay live per
-    session; older tables are dropped LRU, after which DataFrames still
-    referencing them fail fast (FileNotFound) rather than silently reading
-    the wrong corpus. Dirs from dead sessions are swept after
-    ``_NGRAM_EX_SWEEP_DAYS`` on first use (see :func:`_sweep_dead_tables`).
+    (``df.semanticHash()``), the intermediate base dir (changing
+    ``spark.qfilter.intermediateDir`` mid-session must not serve tables
+    from the old location), and a freshness stamp over the scan's input
+    files (name, mtime, length per file — :func:`fsutil.content_stamp`),
+    so a repeated call over the same input — common when tuning
+    ``threshold_millis`` / ``max_df``, which live DOWNSTREAM of this
+    table — reuses the existing table instead of paying the write again
+    (the round-3 cold cost, ~5-10 s at sf0.1), while an input OVERWRITTEN
+    in place mid-session gets a fresh table rather than the stale one.
+    Literal in-memory inputs hash conservatively (fresh exprIds per
+    creation), so they never false-share. The last ``_NGRAM_EX_KEEP``
+    distinct inputs stay live per session; older tables are dropped LRU,
+    after which DataFrames still referencing them fail fast
+    (FileNotFound) rather than silently reading the wrong corpus. Dirs
+    from dead sessions are swept after ``_NGRAM_EX_SWEEP_DAYS`` on first
+    use (see :func:`_sweep_dead_tables`).
     """
-    import os
     import uuid
+
+    from .. import fsutil
 
     base = _ngram_base_dir(spark)
     app = spark.sparkContext.applicationId
-    _sweep_dead_tables(base, app)  # once per (base, prefix) per process
+    _sweep_dead_tables(spark, base, app)  # once per (base, prefix)/process
 
-    key = (app, df.semanticHash(), n_buckets)
+    stamp = fsutil.content_stamp(spark, df.inputFiles())
+    key = (app, base, df.semanticHash(), stamp, n_buckets)
     hit = _ngram_ex_cache.get(key)
     if hit is not None:
         table, path = hit
-        if spark.catalog.tableExists(table) and os.path.isdir(path):
+        if spark.catalog.tableExists(table) and fsutil.is_dir(spark, path):
             # refresh LRU position
             _ngram_ex_cache.pop(key)
             _ngram_ex_cache[key] = hit
@@ -272,7 +279,7 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
 
     tag = uuid.uuid4().hex[:8]
     table = f"{_NGRAM_EX_PREFIX}_{tag}"
-    path = os.path.join(base, f"{_NGRAM_EX_PREFIX}_{app}_{tag}")
+    path = fsutil.child(base, f"{_NGRAM_EX_PREFIX}_{app}_{tag}")
     # repartition by the bucket key at the bucket count: Spark's repartition
     # and bucket-id hashing agree (murmur3 pmod n), so each task holds
     # exactly one bucket -> n_buckets files total instead of

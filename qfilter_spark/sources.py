@@ -24,35 +24,30 @@ def intermediate_dir(spark) -> str:
 _swept: set[tuple[str, str]] = set()  # (base, prefix) done this process
 
 
-def sweep_dead_intermediates(base: str, app: str, prefix: str,
+def sweep_dead_intermediates(spark, base: str, app: str, prefix: str,
                              max_age_days: int = 7) -> None:
     """Best-effort removal of intermediates left by DEAD sessions under
     ``base`` (dirs starting with ``prefix``, not owned by ``app``, older
     than ``max_age_days``), once per (base, prefix) per process. The
     cutoff is long enough that another LIVE session's intermediate —
     written at its own start — is never swept from under it; entries
-    deleted concurrently mid-scan are skipped."""
-    import os
-    import shutil
+    deleted concurrently mid-scan are skipped. Listing and deletion go
+    through the session's Hadoop FileSystem, so a remote
+    ``spark.qfilter.intermediateDir`` (hdfs://, s3a://) is really swept
+    instead of silently leaking forever."""
     import time
+
+    from . import fsutil
 
     if (base, prefix) in _swept:
         return
     _swept.add((base, prefix))
     cutoff = time.time() - max_age_days * 86_400
-    try:
-        entries = os.listdir(base)
-    except OSError:
-        return
-    for d in entries:
-        if not d.startswith(prefix) or app in d:
+    for name, mtime, isdir in fsutil.list_entries(spark, base):
+        if not name.startswith(prefix) or app in name:
             continue
-        p = os.path.join(base, d)
-        try:
-            if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            continue  # raced with its owner's own cleanup
+        if isdir and mtime < cutoff:
+            fsutil.delete(spark, fsutil.child(base, name))
 
 
 def _has_iceberg(spark) -> bool:

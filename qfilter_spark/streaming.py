@@ -122,16 +122,19 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             if op_col is None:
                 sk.update_hashes(h)
                 n_items += int(h.size)
+            elif seq_col is None:
+                # delivered order IS the changelog order: apply per chunk,
+                # never buffering a hot key's whole micro-batch in memory
+                n_items = apply_changelog(
+                    sk, h, pdf[op_col].to_numpy() >= 0, n_items)
             else:  # buffer the batch's slices so seq_col can total-order
                 hs.append(h)
                 ops.append(pdf[op_col].to_numpy() >= 0)
-                if seq_col is not None:
-                    seqs.append(pdf[seq_col].to_numpy())
+                seqs.append(pdf[seq_col].to_numpy())
         if hs:
             h, op = np.concatenate(hs), np.concatenate(ops)
-            if seq_col is not None:
-                order = np.argsort(np.concatenate(seqs), kind="stable")
-                h, op = h[order], op[order]
+            order = np.argsort(np.concatenate(seqs), kind="stable")
+            h, op = h[order], op[order]
             n_items = apply_changelog(sk, h, op, n_items)
         state.update((sk.to_bytes(), n_items))
         yield pd.DataFrame({key_col: [key[0]], "n_items": [n_items],

@@ -114,10 +114,11 @@ def test_rsqf_merge_no_spurious_grow():
 # round-4 ADVICE findings
 # ---------------------------------------------------------------------------
 
-def test_ngram_sweep_tolerates_concurrent_deletion(tmp_path, monkeypatch):
-    """ADVICE r3: a concurrent session deleting its own table between the
-    listdir and the getmtime probe must be skipped, not abort the sweep;
-    a missing base dir is a no-op."""
+def test_ngram_sweep_hadoop_fs(spark, tmp_path):
+    """ADVICE r3/r4: the dead-session sweep runs through the session's
+    Hadoop FileSystem (so a remote intermediateDir is really swept);
+    stale dirs of DEAD apps go, fresh dirs and own-app dirs stay, a
+    missing base is a no-op, and a file (not dir) is never removed."""
     import time
 
     from qfilter_spark.functions import dedup
@@ -126,18 +127,58 @@ def test_ngram_sweep_tolerates_concurrent_deletion(tmp_path, monkeypatch):
     stale.mkdir()
     old = time.time() - (dedup._NGRAM_EX_SWEEP_DAYS + 1) * 86_400
     os.utime(stale, (old, old))
-    racing = tmp_path / f"{dedup._NGRAM_EX_PREFIX}_otherapp_bb"
-    racing.mkdir()
+    fresh = tmp_path / f"{dedup._NGRAM_EX_PREFIX}_otherapp_bb"
+    fresh.mkdir()
+    mine = tmp_path / f"{dedup._NGRAM_EX_PREFIX}_myapp_cc"
+    mine.mkdir()
+    os.utime(mine, (old, old))  # even an old dir of the LIVE app stays
+    stray = tmp_path / f"{dedup._NGRAM_EX_PREFIX}_deadapp_file"
+    stray.write_text("not a dir")
+    os.utime(stray, (old, old))
 
-    real_getmtime = os.path.getmtime
+    dedup._sweep_dead_tables(spark, str(tmp_path), "myapp")
+    assert not stale.exists()
+    assert fresh.exists() and mine.exists() and stray.exists()
+    dedup._sweep_dead_tables(spark, str(tmp_path / "missing"), "myapp")
 
-    def flaky(p):
-        if "otherapp" in p:
-            raise OSError("deleted from under us")
-        return real_getmtime(p)
 
-    monkeypatch.setattr(os.path, "getmtime", flaky)
-    dedup._sweep_dead_tables(str(tmp_path), "myapp")   # must not raise
-    assert not stale.exists()          # genuinely-stale dir swept
-    assert racing.exists()             # racing dir skipped, sweep continued
-    dedup._sweep_dead_tables(str(tmp_path / "missing"), "myapp")  # no-op
+def test_retire_split_filter_full_uri(spark, tmp_path):
+    """ADVICE r4 (medium): retire must delete the table's directory via
+    the Hadoop FS of the FULL URI — never strip a scheme down to a bare
+    path. A file:-qualified attached path and the inputFiles fallback
+    (scheme-qualified URIs) must both free the real directory."""
+    from qfilter_spark.dist.sharded import retire_split_filter
+
+    d = tmp_path / "split_a"
+    spark.range(5).write.parquet(str(d))
+    filt = spark.read.parquet(str(d))
+    filt._qfs_split_path = "file:" + str(d)  # scheme-qualified attach
+    retire_split_filter(filt)
+    assert not d.exists()
+
+    d2 = tmp_path / "split_b"
+    spark.range(5).write.parquet(str(d2))
+    reread = spark.read.parquet(str(d2))  # no attached path: inputFiles
+    assert reread.inputFiles()[0].startswith("file:")
+    retire_split_filter(reread)
+    assert not d2.exists()
+
+
+def test_resume_override_rerecords_fan_in(spark, corpus_df, tmp_path):
+    """ADVICE r4: resuming with an explicit fan_in override must become
+    the manifest's truth, so a LATER resume regroups the same way."""
+    from qfilter_spark.dist.agg import build_sketch
+    from qfilter_spark.dist.checkpoint import MergeLineage, resume_tree_merge
+
+    spec = SketchSpec(kind="rsqf",
+                      params=dict(capacity=1 << 21, fp_rate=0.01,
+                                  resizeable_from=1 << 12),
+                      mode="tokens_ngram", col="tokens", ngram_n=3)
+    ckpt = str(tmp_path / "lineage")
+    lineage = MergeLineage(spark, ckpt)
+    build_sketch(corpus_df, spec, fan_in=4, lineage=lineage)
+    assert lineage.manifest_fan_in() == 4
+    resume_tree_merge(spark, ckpt, fan_in=2)   # explicit override
+    assert lineage.manifest_fan_in() == 2      # re-recorded
+    resume_tree_merge(spark, ckpt)             # defaults to the override
+    assert lineage.manifest_fan_in() == 2

@@ -151,6 +151,49 @@ def test_intermediate_dir_conf_respected(spark, tmp_path):
         spark.conf.unset("spark.qfilter.intermediateDir")
 
 
+def test_overwritten_input_gets_fresh_table(spark, tmp_path):
+    """Round-5 (VERDICT r4 #6): the content-address key is salted with a
+    freshness stamp over the scan's input files, so an input OVERWRITTEN
+    in place mid-session gets a fresh bucketed table — never the stale
+    one the old path-keyed plan hash would have served."""
+    p = _write_docs(spark, tmp_path, "fresh1",
+                    [(f"d{i}", " ".join(f"a{i}x{j}" for j in range(8)))
+                     for i in range(10)])
+    dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+    t1 = next(reversed(dedup._ngram_ex_cache.values()))[0]
+
+    # overwrite the SAME path with two exact-duplicate docs
+    dup = " ".join(f"z{j}" for j in range(12))
+    (spark.createDataFrame([("n1", dup), ("n2", dup)],
+                           "doc_id string, text string")
+     .write.mode("overwrite").parquet(p))
+    pairs = dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+    t2 = next(reversed(dedup._ngram_ex_cache.values()))[0]
+    assert t2 != t1, "stale table served after in-place overwrite"
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {("n1", "n2")}
+
+
+def test_changed_intermediate_dir_fresh_table(spark, tmp_path):
+    """Changing spark.qfilter.intermediateDir mid-session must write to
+    the NEW location (the cache key includes the base dir)."""
+    import os
+    p = _write_docs(spark, tmp_path, "movedir",
+                    [(f"m{i}", " ".join(f"m{i}x{j}" for j in range(6)))
+                     for i in range(10)])
+    dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+    _, path_before = next(reversed(dedup._ngram_ex_cache.values()))
+    target = str(tmp_path / "relocated")
+    os.makedirs(target, exist_ok=True)
+    spark.conf.set("spark.qfilter.intermediateDir", target)
+    try:
+        dedup.ngram_jaccard_pairs(spark.read.parquet(p)).collect()
+        _, path_after = next(reversed(dedup._ngram_ex_cache.values()))
+        assert path_after.startswith(target)
+        assert path_after != path_before
+    finally:
+        spark.conf.unset("spark.qfilter.intermediateDir")
+
+
 def test_long_document_shingling_not_quadratic(spark):
     """Canary for the round-4 CollapseProject quadratic: shingle-hash and
     explode 48 long (4096-word) docs. The zip-of-slices construction does
