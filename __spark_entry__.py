@@ -74,12 +74,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# doc_id < 1000 mirrors workloads._DEDUP_GATE_DOCS: a no-op below sf0.1
+# (doc_id domain 0..499), and at sf0.1 it bounds the EXACT all-pairs
+# oracle to a tractable subset so the full gate can run at all three SFs
 _JACCARD_SQL = """
 WITH sh AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(w) - 1),
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id < 1000)
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(floor(1000.0 * len(list_intersect(a.s, b.s))

@@ -21,6 +21,19 @@ def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
 
     from .. import sketches
 
+    if hash_col not in df.columns:
+        raise ValueError(f"hash_col {hash_col!r} not in {df.columns}")
+    # fail on the DRIVER for a blob this job could never probe (undecodable
+    # bytes, or a values-mode sketch like kll/tdigest with no hash probe
+    # surface) — not once per executor task deep in mapInArrow
+    probe_sk = sketches.loads(blob)
+    if not (hasattr(probe_sk, "contains_hashes")
+            or hasattr(probe_sk, "count_hashes")
+            or hasattr(probe_sk, "estimate_hashes")):
+        raise TypeError(f"sketch kind {type(probe_sk).__name__} has no "
+                        "hash-probe surface (contains/count/estimate)")
+    del probe_sk
+
     sc = df.sparkSession.sparkContext
     b = sc.broadcast(blob)
     out_type = "boolean" if as_bool else "long"
@@ -29,7 +42,14 @@ def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
     def run(batches):
         sk = sketches.loads(b.value)
         for batch in batches:
-            h = batch.column(hash_col).to_numpy(zero_copy_only=False) \
+            col_in = batch.column(hash_col)
+            if col_in.null_count:
+                # to_numpy would silently launder NULLs through float NaN
+                # into garbage probe values — refuse instead
+                raise ValueError(
+                    f"probe_hashes: {col_in.null_count} NULL values in "
+                    f"{hash_col!r}; filter them out before probing")
+            h = col_in.to_numpy(zero_copy_only=False) \
                 .astype(np.int64).view(np.uint64)
             if as_bool:
                 if hasattr(sk, "contains_hashes"):

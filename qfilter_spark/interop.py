@@ -62,27 +62,63 @@ def to_reference_bincode(f: Filter) -> bytes:
     return out
 
 
-def from_reference_bincode(data) -> Filter:
-    mv = memoryview(data)
-    (blen,) = struct.unpack_from("<Q", mv, 0)
-    off = 8
-    buf = bytes(mv[off:off + blen])
-    off += blen
-    (length,) = struct.unpack_from("<Q", mv, off)
-    off += 8
-    qbits, rbits = struct.unpack_from("<BB", mv, off)
-    off += 2
-    tag = mv[off]
-    off += 1
-    max_qbits = None
-    if tag == 1:
-        max_qbits = mv[off]
+def _validated_decode(buf: bytes, qbits: int, rbits: int, length: int,
+                      max_qbits) -> Filter:
+    """Shared header/body validation for both carriers: reject blobs the
+    reference could never have written BEFORE handing the buffer to the
+    vectorized decoder, and turn decoder inconsistencies (corrupt
+    occupieds/runends bitvectors) into one clear ValueError instead of a
+    numpy IndexError deep in rank/select."""
+    if not (6 <= qbits and 1 <= rbits and qbits + rbits <= 64):
+        # qbits>=6: the blocked layout is whole 64-slot blocks; q/r are
+        # NonZeroU8 in the reference and fingerprints are <= 64 bits
+        raise ValueError(f"invalid header qbits={qbits} rbits={rbits}")
+    if max_qbits is not None and not (qbits <= max_qbits <= qbits + rbits - 1):
+        # growth keeps the fingerprint size: each grow takes one bit from
+        # the remainder, so rbits at max_qbits must stay >= 1
+        raise ValueError(f"invalid max_qbits={max_qbits} for "
+                         f"q={qbits} r={rbits}")
+    if length > (1 << qbits):
+        raise ValueError(f"length {length} exceeds {1 << qbits} slots")
     if len(buf) != _expected_buffer_len(qbits, rbits):
         raise ValueError(
             f"buffer length {len(buf)} != expected "
             f"{_expected_buffer_len(qbits, rbits)} for q={qbits} r={rbits}")
-    fps = blocks.decode(buf, qbits, rbits, length)
+    try:
+        fps = blocks.decode(buf, qbits, rbits, length)
+    except (IndexError, AssertionError, ValueError) as e:
+        raise ValueError(f"corrupt block buffer: {e}") from None
     return Filter(qbits, rbits, max_qbits, fps)
+
+
+def from_reference_bincode(data) -> Filter:
+    mv = memoryview(data)
+    try:
+        (blen,) = struct.unpack_from("<Q", mv, 0)
+        off = 8
+        if blen > len(mv) - off:
+            raise ValueError(f"buffer length {blen} overruns input "
+                             f"({len(mv)} bytes)")
+        buf = bytes(mv[off:off + blen])
+        off += blen
+        (length,) = struct.unpack_from("<Q", mv, off)
+        off += 8
+        qbits, rbits = struct.unpack_from("<BB", mv, off)
+        off += 2
+        tag = mv[off]
+        off += 1
+        max_qbits = None
+        if tag == 1:
+            max_qbits = mv[off]
+            off += 1
+        elif tag != 0:
+            raise ValueError(f"invalid Option tag {tag} (expected 0 or 1)")
+    except (struct.error, IndexError):
+        raise ValueError(
+            f"truncated bincode blob ({len(mv)} bytes)") from None
+    if off != len(mv):
+        raise ValueError(f"{len(mv) - off} trailing bytes after blob")
+    return _validated_decode(buf, qbits, rbits, length, max_qbits)
 
 
 def to_reference_json(f: Filter) -> str:
@@ -99,10 +135,22 @@ def to_reference_json(f: Filter) -> str:
 
 
 def from_reference_json(s: str | bytes) -> Filter:
-    obj = json.loads(s)
-    buf = bytes(obj["b"])
-    qbits, rbits = int(obj["q"]), int(obj["r"])
-    if len(buf) != _expected_buffer_len(qbits, rbits):
-        raise ValueError("buffer length mismatch for declared qbits/rbits")
-    fps = blocks.decode(buf, qbits, rbits, int(obj["l"]))
-    return Filter(qbits, rbits, obj.get("g"), fps)
+    try:
+        obj = json.loads(s)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"malformed JSON blob: {e}") from None
+    if not isinstance(obj, dict):
+        raise ValueError(f"expected a JSON object, got {type(obj).__name__}")
+    missing = {"b", "l", "q", "r"} - obj.keys()
+    if missing:
+        raise ValueError(f"missing fields {sorted(missing)}")
+    try:
+        buf = bytes(obj["b"])
+        qbits, rbits, length = int(obj["q"]), int(obj["r"]), int(obj["l"])
+        g = obj.get("g")
+        max_qbits = None if g is None else int(g)
+        if length < 0:
+            raise ValueError("negative length")
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"malformed field: {e}") from None
+    return _validated_decode(buf, qbits, rbits, length, max_qbits)

@@ -715,8 +715,18 @@ def q_dedup_exact(spark, sf_dir):
                        F.sum("n_copies").alias("n_docs"))
 
 
+# The dedup gate rows bound their corpus to doc_id < _DEDUP_GATE_DOCS on
+# BOTH sides (Spark and the DuckDB oracle). Below sf0.1 the filter is a
+# no-op (doc_id domain is 0..499), so small-SF results are unchanged; at
+# sf0.1 it keeps the EXACT all-pairs DuckDB oracle tractable (~1 min vs
+# grinding on 5000 docs), buying a third fully-gated scale point. Engine
+# scale evidence lives in bench.py / scripts/dedup_stress.py, not here.
+_DEDUP_GATE_DOCS = 1000
+
+
 def q_dedup_minhash(spark, sf_dir):
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    docs = fan_out(load(spark, sf_dir, "documents")
+                   .where(F.col("doc_id") < _DEDUP_GATE_DOCS))
     return dedup.minhash_dedup_pairs(docs).select("doc_a", "doc_b", "jacc_millis")
 
 
@@ -724,7 +734,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir, max_df: int = 500):
     """Exact n-gram Jaccard >= 0.8 as a pure join + count-aggregation plan
     (no minhash, no pair materialization, no string arrays in any shuffle) —
     see :func:`qfilter_spark.functions.dedup.ngram_jaccard_pairs`."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    docs = fan_out(load(spark, sf_dir, "documents")
+                   .where(F.col("doc_id") < _DEDUP_GATE_DOCS))
     return dedup.ngram_jaccard_pairs(docs, threshold_millis=800, max_df=max_df)
 
 
@@ -735,7 +746,8 @@ def q_dedup_simhash(spark, sf_dir):
     cutoff keeps recall at 1 with margin while still pruning ~all of the
     non-near-dup candidate space (expected hamming for unrelated docs ~32).
     """
-    docs = fan_out(load(spark, sf_dir, "documents"))
+    docs = fan_out(load(spark, sf_dir, "documents")
+                   .where(F.col("doc_id") < _DEDUP_GATE_DOCS))
     # ONE shingle->signature->candidate pipeline feeds both the hamming
     # filter and the exact-Jaccard verify (the round-2 version ran the
     # whole pipeline twice via simhash_near_pairs + minhash_dedup_pairs)

@@ -295,3 +295,52 @@ def test_reused_lineage_dir_invalidates_stale_rounds(spark, corpus_df,
     lineage.write_round(parts, 0)
     assert lineage.complete_rounds() == [0]
     assert not os.path.exists(os.path.join(ckpt, f"round={old_rounds[-1]}"))
+
+
+# ---------------------------------------------------------------------------
+# probe_hashes failure modes (round-5 review)
+# ---------------------------------------------------------------------------
+
+def test_probe_hashes_rejects_bad_inputs_on_driver(spark):
+    from pyspark.sql import functions as F
+
+    from qfilter_spark import sketches
+    from qfilter_spark.dist.probe import probe_hashes
+
+    df = spark.range(10).select(F.xxhash64("id").alias("h"))
+    blob = sketches.create("rsqf", capacity=64, fp_rate=0.01).to_bytes()
+    with pytest.raises(ValueError, match="hash_col"):
+        probe_hashes(df, blob, "nope")
+    with pytest.raises(TypeError, match="hash-probe"):
+        probe_hashes(df, sketches.create("kll").to_bytes(), "h")
+    with pytest.raises(Exception):          # undecodable blob fails eagerly
+        probe_hashes(df, b"garbage", "h")
+
+
+def test_probe_hashes_null_hashes_refused(spark):
+    from pyspark.sql import functions as F
+
+    from qfilter_spark import sketches
+    from qfilter_spark.dist.probe import probe_hashes
+
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame([(1,), (None,)], "h long")
+    blob = sketches.create("rsqf", capacity=64, fp_rate=0.01).to_bytes()
+    with pytest.raises(Exception) as ei:
+        probe_hashes(df, blob, "h").collect()
+    assert "NULL values" in str(ei.value)
+
+
+def test_probe_hashes_empty_filter_and_empty_frame(spark):
+    from pyspark.sql import functions as F
+
+    from qfilter_spark import sketches
+    from qfilter_spark.dist.probe import probe_hashes
+
+    empty_filter = sketches.create("rsqf", capacity=64, fp_rate=0.01).to_bytes()
+    df = spark.range(100).select(F.xxhash64("id").alias("h"))
+    out = probe_hashes(df, empty_filter, "h", as_bool=True)
+    assert out.where("est_count").count() == 0          # nothing contained
+    empty_df = df.where("h IS NULL AND h IS NOT NULL")  # 0 rows
+    assert probe_hashes(empty_df, empty_filter, "h").count() == 0

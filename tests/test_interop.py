@@ -146,3 +146,107 @@ def test_corrupt_buffer_length_rejected():
     struct.pack_into("<Q", data, 0, 5)  # lie about the buffer length
     with pytest.raises((ValueError, struct.error)):
         interop.from_reference_bincode(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# malformed / truncated inputs (round-5 failure-mode review)
+# ---------------------------------------------------------------------------
+
+def _blob():
+    return interop.to_reference_bincode(_filled(n=10, cap=100))
+
+
+def test_truncated_bincode_every_prefix_rejected():
+    """Every strict prefix must raise ValueError — never struct.error,
+    IndexError, or a silently wrong Filter."""
+    data = _blob()
+    for cut in (0, 4, 7, 8, len(data) // 2, len(data) - 2, len(data) - 1):
+        with pytest.raises(ValueError):
+            interop.from_reference_bincode(data[:cut])
+
+
+def test_bincode_trailing_garbage_rejected():
+    with pytest.raises(ValueError, match="trailing"):
+        interop.from_reference_bincode(_blob() + b"\x00")
+
+
+def test_bincode_overrunning_buffer_length_rejected():
+    data = bytearray(_blob())
+    struct.pack_into("<Q", data, 0, 1 << 40)  # buffer "longer" than input
+    with pytest.raises(ValueError, match="overruns"):
+        interop.from_reference_bincode(bytes(data))
+
+
+def test_bincode_bad_option_tag_rejected():
+    f = _filled(n=10, cap=100)
+    assert f.max_qbits is None
+    data = bytearray(interop.to_reference_bincode(f))
+    data[-1] = 7                              # tag must be 0 or 1
+    with pytest.raises(ValueError, match="Option tag"):
+        interop.from_reference_bincode(bytes(data))
+
+
+def test_bincode_invalid_header_fields_rejected():
+    f = _filled(n=10, cap=100)
+    good = interop.to_reference_bincode(f)
+    blen = struct.unpack_from("<Q", good, 0)[0]
+    qoff = 8 + blen + 8
+    for qbits, rbits in ((0, 8), (3, 8), (60, 8), (f.qbits, 0)):
+        data = bytearray(good)
+        data[qoff], data[qoff + 1] = qbits, rbits
+        with pytest.raises(ValueError):
+            interop.from_reference_bincode(bytes(data))
+    # length exceeding the slot count
+    data = bytearray(good)
+    struct.pack_into("<Q", data, 8 + blen, 1 << 50)
+    with pytest.raises(ValueError, match="exceeds"):
+        interop.from_reference_bincode(bytes(data))
+
+
+def test_bincode_invalid_max_qbits_rejected():
+    f = _filled(n=10, cap=10_000, resizeable=True)
+    assert f.max_qbits is not None
+    data = bytearray(interop.to_reference_bincode(f))
+    data[-1] = 64                              # > qbits + rbits - 1
+    with pytest.raises(ValueError, match="max_qbits"):
+        interop.from_reference_bincode(bytes(data))
+
+
+def test_bincode_corrupt_bitvectors_rejected():
+    """Flipping runend bits makes occupieds/runends inconsistent: decode
+    must surface ONE clear ValueError, not a numpy error mid rank/select."""
+    f = _filled(n=50, cap=100)
+    good = interop.to_reference_bincode(f)
+    saw_reject = 0
+    for flip in range(9, 17):                 # runends bytes of block 0
+        data = bytearray(good)
+        data[8 + flip] ^= 0xFF
+        try:
+            interop.from_reference_bincode(bytes(data))
+        except ValueError:
+            saw_reject += 1
+    assert saw_reject >= 6                    # nearly all flips detected
+
+
+def test_json_malformed_rejected():
+    with pytest.raises(ValueError, match="malformed JSON"):
+        interop.from_reference_json("{not json")
+    with pytest.raises(ValueError, match="JSON object"):
+        interop.from_reference_json("[1, 2]")
+    with pytest.raises(ValueError, match="missing fields"):
+        interop.from_reference_json('{"b": [], "q": 8}')
+    with pytest.raises(ValueError):            # byte value out of range
+        interop.from_reference_json('{"b": [999], "l": 0, "q": 8, "r": 8}')
+    with pytest.raises(ValueError):            # negative length
+        interop.from_reference_json('{"b": [], "l": -1, "q": 8, "r": 8}')
+    with pytest.raises(ValueError, match="max_qbits"):
+        interop.from_reference_json(
+            json.dumps({"b": list(interop._buffer_of(_filled(10, 100))),
+                        "l": 10, "q": 7, "r": 7, "g": 64}))
+
+
+def test_json_roundtrip_still_green_after_hardening():
+    f = _filled(n=25, cap=100, resizeable=True)
+    g = interop.from_reference_json(interop.to_reference_json(f))
+    assert np.array_equal(g._fps, f._fps)
+    assert (g.qbits, g.rbits, g.max_qbits) == (f.qbits, f.rbits, f.max_qbits)
