@@ -155,6 +155,12 @@ def decode(payload: bytes, qbits: int, rbits: int, n_items: int) -> np.ndarray:
         rem_by_slot[s:e] = bits.reshape(e - s, rbits).astype(np.uint64) @ weights
 
     if n_items == 0:
+        if occ_bits.any():
+            # a zeroed/corrupted length header over a non-empty structure
+            # must not silently decode to an empty filter (every probe
+            # would return a false negative)
+            raise ValueError("header says 0 fingerprints but the buffer "
+                             "has occupied buckets")
         return np.empty(0, dtype=np.uint64)
 
     occ_pos = np.flatnonzero(occ_bits).astype(np.int64)

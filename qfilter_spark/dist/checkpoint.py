@@ -36,15 +36,18 @@ class MergeLineage:
         self.spark = spark
         self.dir = directory
 
-    # -- Hadoop FS plumbing (works for local, hdfs://, s3a://, ...) ----
+    # -- Hadoop FS plumbing via fsutil (local, hdfs://, s3a://, ...) ----
     def _jpath(self, *parts: str):
+        from .. import fsutil
+
         sep = "" if self.dir.endswith("/") else "/"
-        return self.spark._jvm.org.apache.hadoop.fs.Path(
-            self.dir + (sep + "/".join(parts) if parts else ""))
+        return fsutil.jpath(
+            self.spark, self.dir + (sep + "/".join(parts) if parts else ""))
 
     def _fs(self):
-        return self._jpath().getFileSystem(
-            self.spark._jsc.hadoopConfiguration())
+        from .. import fsutil
+
+        return fsutil.get_fs(self.spark, self.dir)
 
     def _round_path(self, rnd: int) -> str:
         sep = "" if self.dir.endswith("/") else "/"

@@ -23,16 +23,17 @@ def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
 
     if hash_col not in df.columns:
         raise ValueError(f"hash_col {hash_col!r} not in {df.columns}")
-    # fail on the DRIVER for a blob this job could never probe (undecodable
-    # bytes, or a values-mode sketch like kll/tdigest with no hash probe
-    # surface) — not once per executor task deep in mapInArrow
-    probe_sk = sketches.loads(blob)
-    if not (hasattr(probe_sk, "contains_hashes")
-            or hasattr(probe_sk, "count_hashes")
-            or hasattr(probe_sk, "estimate_hashes")):
-        raise TypeError(f"sketch kind {type(probe_sk).__name__} has no "
+    # fail on the DRIVER for a blob this job could never probe (bad header,
+    # or a values-mode sketch like kll/tdigest with no hash probe surface)
+    # — not once per executor task deep in mapInArrow. Header-only sniff:
+    # decoding a multi-GB at-rest RSQF blob here would duplicate per-task
+    # work on the driver just to check a capability.
+    kind = sketches.kind_of(blob)
+    if kind not in sketches.HASH_PROBE_KINDS:
+        name = next((n for n, k in sketches.KIND_NAMES.items() if k == kind),
+                    str(kind))
+        raise TypeError(f"sketch kind {name!r} has no "
                         "hash-probe surface (contains/count/estimate)")
-    del probe_sk
 
     sc = df.sparkSession.sparkContext
     b = sc.broadcast(blob)

@@ -95,13 +95,17 @@ def content_stamp(spark, input_files: list[str], max_dirs: int = 64) -> int:
     h = hashlib.blake2b(digest_size=8)
     for f in sorted(input_files):
         h.update(f.encode())
-    parents = sorted({f.rsplit("/", 1)[0] for f in input_files if "/" in f})
-    if len(parents) > max_dirs:
+    by_parent: dict[str, set[str]] = {}
+    for f in input_files:
+        if "/" in f:
+            d, name = f.rsplit("/", 1)
+            by_parent.setdefault(d, set()).add(name)
+    if len(by_parent) > max_dirs:
         return int.from_bytes(h.digest(), "big")
-    names = {f.rsplit("/", 1)[1] for f in input_files if "/" in f}
-    for d in parents:
-        try:
-            fs = get_fs(spark, d)
+    for d in sorted(by_parent):
+        names = by_parent[d]  # per-directory: an unrelated file in one
+        try:                  # dir sharing a basename with an input file
+            fs = get_fs(spark, d)  # from ANOTHER dir must not perturb it
             stats = sorted(
                 (st.getPath().getName(), st.getModificationTime(), st.getLen())
                 for st in fs.listStatus(jpath(spark, d)))

@@ -269,18 +269,26 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
     key = (app, base, df.semanticHash(), stamp, n_buckets)
     with _ngram_ex_lock:
         hit = _ngram_ex_cache.get(key)
-        if hit is not None:
-            table, path = hit
-            if spark.catalog.tableExists(table) and fsutil.is_dir(spark, path):
-                # refresh LRU position
+    if hit is not None:
+        # catalog/FS validation happens OUTSIDE the lock (both are JVM/FS
+        # RPCs); the dict is only touched again if the entry is unchanged
+        table, path = hit
+        alive = spark.catalog.tableExists(table) and fsutil.is_dir(spark, path)
+        with _ngram_ex_lock:
+            if _ngram_ex_cache.get(key) == hit:
                 _ngram_ex_cache.pop(key)
-                _ngram_ex_cache[key] = hit
-                return spark.table(table)
-            _ngram_ex_cache.pop(key)
+                if alive:
+                    _ngram_ex_cache[key] = hit  # refresh LRU position
+        if alive:
+            return spark.table(table)
 
+    evicted: list[tuple[str, str]] = []
+    with _ngram_ex_lock:
         while len(_ngram_ex_cache) >= _NGRAM_EX_KEEP:
             oldest = next(iter(_ngram_ex_cache))
-            _drop_table(spark, *_ngram_ex_cache.pop(oldest))
+            evicted.append(_ngram_ex_cache.pop(oldest))
+    for t, p in evicted:   # DROP TABLE + recursive delete: not under lock
+        _drop_table(spark, t, p)
 
     tag = uuid.uuid4().hex[:8]
     table = f"{_NGRAM_EX_PREFIX}_{tag}"
@@ -299,12 +307,13 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
        .option("path", path).saveAsTable(table))
     with _ngram_ex_lock:
         winner = _ngram_ex_cache.get(key)
-        if winner is not None:
-            # a concurrent call finished first: keep the cached table and
-            # drop ours instead of leaking an unretirable duplicate
-            _drop_table(spark, table, path)
-            return spark.table(winner[0])
-        _ngram_ex_cache[key] = (table, path)
+        if winner is None:
+            _ngram_ex_cache[key] = (table, path)
+    if winner is not None:
+        # a concurrent call finished first: keep the cached table and
+        # drop ours (outside the lock) instead of leaking a duplicate
+        _drop_table(spark, table, path)
+        return spark.table(winner[0])
     return spark.table(table)
 
 
@@ -337,6 +346,10 @@ def _pair_counts(ex: DataFrame, count_name: str) -> DataFrame:
             .select("doc_a",
                     F.explode(F.expr("slice(docs, i + 2, size(docs))"))
                      .alias("doc_b"))
+            # a doc_id ingested twice puts two copies in a posting; the
+            # positional pairing would emit a (d, d) self-pair the old
+            # a.doc_id < b.doc_id join predicate structurally excluded
+            .where(F.col("doc_a") != F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count("*").alias(count_name)))
 

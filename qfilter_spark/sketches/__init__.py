@@ -4,7 +4,7 @@ north_rule inventory: RSQF (qfilter_spark.rsqf), Bloom, HLL, count-min,
 KLL, t-digest — all associative/commutative merges (SURVEY.md §2.3).
 """
 
-from .base import KIND_NAMES, loads
+from .base import HASH_PROBE_KINDS, KIND_NAMES, kind_of, loads
 from .bloom import BloomFilter
 from .cms import CountMinSketch
 from .hll import HllSketch
@@ -31,4 +31,5 @@ def create(kind: str, **params):
 __all__ = [
     "BloomFilter", "CountMinSketch", "HllSketch", "KllSketch",
     "RsqfSketch", "TDigest", "TopKSketch", "loads", "create", "KIND_NAMES",
+    "HASH_PROBE_KINDS", "kind_of",
 ]

@@ -36,6 +36,23 @@ KIND_NAMES = {
     "topk": KIND_TOPK,
 }
 
+# kinds whose decoded sketch carries a per-hash probe surface
+# (contains_hashes / count_hashes / estimate_hashes) — hll is
+# aggregate-only, kll/tdigest are values-mode
+HASH_PROBE_KINDS = {KIND_RSQF, KIND_BLOOM, KIND_CMS, KIND_TOPK}
+
+
+def kind_of(blob) -> int:
+    """The kind byte of a sketch blob — header-only, no payload decode
+    (an at-rest RSQF blob can be GBs; capability checks must be O(1))."""
+    mv = memoryview(blob)
+    if len(mv) < 4 or bytes(mv[:3]) != _MAGIC:
+        raise ValueError("not a qfilter_spark sketch blob")
+    kind = mv[3]
+    if kind not in _REGISTRY:
+        raise ValueError(f"unknown sketch kind byte {kind}")
+    return kind
+
 
 def register(kind: int):
     def deco(fn):

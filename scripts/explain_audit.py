@@ -92,23 +92,20 @@ def main():
     table = next(reversed(_ngram_ex_cache.values()))[0]  # most recent table
     rare = spark.table(table).where(F.col("freq") <= 500) \
         .select("doc_id", "hs")
-    j = rare.alias("a").join(rare.alias("b"), "hs")
-    # at bench scale the planner picks a broadcast join and rightly skips
-    # bucketing; force the at-scale (non-broadcast) shape to assert the
-    # bucketed join really eliminates the exchange
-    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        plan5 = j._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    pc = dedup._pair_counts(rare, "inter_rare")
+    plan5 = pc._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     print(plan5, file=sys.stderr)
-    check("ngram intermediate self-join is bucketed (no exchange) with "
-          "pushed freq filter",
+    # posting-list pair counting (round 5): the per-shingle collect_list
+    # aggregate must be satisfied by the bucketed scan (NO exchange on hs),
+    # the freq filter must be pushed to parquet, and the only shuffle in
+    # the whole plan is the legitimate final (doc_a, doc_b) aggregation
+    check("ngram posting-list pair counts: bucketed scan, pushed freq "
+          "filter, no hs exchange, one pair shuffle",
           "Bucketed: true" in plan5
           and "LessThanOrEqual(freq,500)" in plan5
-          and "Exchange" not in plan5)
+          and "hashpartitioning(hs" not in plan5
+          and "hashpartitioning(doc_a" in plan5)
 
     spark.stop()
     print(f"{failures} failures")

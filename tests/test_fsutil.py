@@ -58,3 +58,21 @@ def test_content_stamp_empty_and_degraded(spark, tmp_path):
 def test_child_join():
     assert fsutil.child("s3a://b/x", "y") == "s3a://b/x/y"
     assert fsutil.child("s3a://b/x/", "y") == "s3a://b/x/y"
+
+
+def test_content_stamp_per_directory_names(spark, tmp_path):
+    """Round-5 review: an unrelated file in dir A sharing a basename with
+    an input file from dir B must not perturb the stamp."""
+    da, db = tmp_path / "a", tmp_path / "b"
+    da.mkdir(); db.mkdir()
+    (da / "part-0.parquet").write_bytes(b"x")
+    (db / "part-1.parquet").write_bytes(b"y")
+    files = [f"file:{da}/part-0.parquet", f"file:{db}/part-1.parquet"]
+    s1 = fsutil.content_stamp(spark, files)
+    # unrelated file in da named like db's input
+    (da / "part-1.parquet").write_bytes(b"unrelated")
+    assert fsutil.content_stamp(spark, files) == s1
+    # touching a REAL input still moves the stamp
+    future = time.time() + 10
+    os.utime(da / "part-0.parquet", (future, future))
+    assert fsutil.content_stamp(spark, files) != s1

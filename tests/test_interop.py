@@ -250,3 +250,15 @@ def test_json_roundtrip_still_green_after_hardening():
     g = interop.from_reference_json(interop.to_reference_json(f))
     assert np.array_equal(g._fps, f._fps)
     assert (g.qbits, g.rbits, g.max_qbits) == (f.qbits, f.rbits, f.max_qbits)
+
+
+def test_bincode_zeroed_length_rejected():
+    """Round-5 review: zeroing the 8-byte length word over a filled
+    buffer must raise, not decode to a silently empty filter whose every
+    probe is a false negative."""
+    good = _blob()
+    blen = struct.unpack_from("<Q", good, 0)[0]
+    data = bytearray(good)
+    struct.pack_into("<Q", data, 8 + blen, 0)
+    with pytest.raises(ValueError, match="occupied"):
+        interop.from_reference_bincode(bytes(data))

@@ -218,3 +218,16 @@ def test_long_document_shingling_not_quadratic(spark):
     elapsed = time.perf_counter() - t0
     assert n > 100_000          # the shingles were really computed
     assert elapsed < 60, f"shingling 48x4096-word docs took {elapsed:.0f}s"
+
+
+def test_pair_counts_no_self_pairs_on_duplicate_doc_ids(spark):
+    """Round-5 review: a doc_id ingested twice puts two copies in a
+    posting list; the positional pairing must not emit (d, d) self-pairs
+    (the old a.doc_id < b.doc_id join excluded them structurally)."""
+    ex = spark.createDataFrame(
+        [("d1", 10), ("d1", 10), ("d1", 11), ("d2", 10), ("d2", 11)],
+        "doc_id string, hs long")
+    rows = dedup._pair_counts(ex, "inter").collect()
+    got = {(r.doc_a, r.doc_b): r.inter for r in rows}
+    assert all(a != b for a, b in got), f"self-pair emitted: {got}"
+    assert got[("d1", "d2")] >= 2      # real pair still counted
