@@ -317,7 +317,8 @@ def _materialize_bucketed(spark, df: DataFrame, n_buckets: int) -> DataFrame:
     return spark.table(table)
 
 
-def _pair_counts(ex: DataFrame, count_name: str) -> DataFrame:
+def _pair_counts(ex: DataFrame, count_name: str,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-shingle POSTING LISTS -> co-occurrence pair counts.
 
     Replaces the row-by-row self-join on ``hs`` (round 1-4): group each
@@ -337,21 +338,40 @@ def _pair_counts(ex: DataFrame, count_name: str) -> DataFrame:
     restricted to. The inner slice references only Generate outputs —
     no outer column inside a HOF lambda (the round-4 CollapseProject
     quadratic).
+
+    ``carry``: per-doc columns of ``ex`` (constant per doc_id) carried
+    THROUGH the posting structs and emitted as ``<col>_a`` / ``<col>_b``
+    on each pair row. This is how per-doc stats reach the candidate
+    filter without ever joining the (much larger) pair set: the round-5
+    breakdown measured the post-pair stats joins at ~4x the pair stage
+    itself (302M pair rows vs n_docs stats rows at 100k zipf docs).
+    Structs sort by leading field, so ordering stays doc_id-ascending.
     """
+    if carry:
+        elem = F.struct(F.col("doc_id"), *[F.col(c) for c in carry])
+        a_id, b_id = F.col("a.doc_id"), F.col("b.doc_id")
+    else:
+        elem = F.col("doc_id")
+        a_id, b_id = F.col("a"), F.col("b")
     posting = (ex.groupBy("hs")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+               .agg(F.sort_array(F.collect_list(elem)).alias("docs"))
                .where(F.size("docs") >= 2))
-    return (posting
-            .select(F.posexplode("docs").alias("i", "doc_a"), "docs")
-            .select("doc_a",
-                    F.explode(F.expr("slice(docs, i + 2, size(docs))"))
-                     .alias("doc_b"))
-            # a doc_id ingested twice puts two copies in a posting; the
-            # positional pairing would emit a (d, d) self-pair the old
-            # a.doc_id < b.doc_id join predicate structurally excluded
-            .where(F.col("doc_a") != F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").alias(count_name)))
+    gen = (posting
+           .select(F.posexplode("docs").alias("i", "a"), "docs")
+           .select("a",
+                   F.explode(F.expr("slice(docs, i + 2, size(docs))"))
+                    .alias("b"))
+           # a doc_id ingested twice puts two copies in a posting; the
+           # positional pairing would emit a (d, d) self-pair the old
+           # a.doc_id < b.doc_id join predicate structurally excluded
+           .where(a_id != b_id))
+    aggs = [F.count("*").alias(count_name)]
+    # carried values are constant per doc: min == the value, and min is
+    # deterministic under any row order
+    aggs += [F.min(F.col(f"a.{c}")).alias(f"{c}_a") for c in carry]
+    aggs += [F.min(F.col(f"b.{c}")).alias(f"{c}_b") for c in carry]
+    return (gen.groupBy(a_id.alias("doc_a"), b_id.alias("doc_b"))
+               .agg(*aggs))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -412,22 +432,30 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     annotated = ex.join(dfreq, "hs")
     ex_f = _materialize_bucketed(spark, annotated, n_parts)
 
-    ex_rare = ex_f.where(rare).select("doc_id", "hs")
-    pairs_rare = _pair_counts(ex_rare, "inter_rare")
-
     # per-doc set + hot sizes in ONE pass (shingles are distinct per doc,
-    # so count == set size)
+    # so count == set size); broadcast-joined onto the EXPLODE and carried
+    # through the posting structs, so the candidate filter runs directly
+    # on the pair aggregation — the round-5 breakdown measured joining
+    # stats onto the pair set instead (302M rows at 100k zipf docs) at
+    # ~4x the cost of the whole pair stage. stats is n_docs rows (KBs-MBs
+    # at bench scale); a 10^12-doc deployment would bucket stats by
+    # doc_id next to a doc_id-keyed copy of the explode instead of
+    # broadcasting. The broadcast preserves the bucketed table's hs
+    # partitioning, so the posting groupBy stays exchange-free (audited).
     stats = ex_f.groupBy("doc_id").agg(
         F.count("*").alias("n_sh"),
         F.sum((~rare).cast("long")).alias("n_hot"))
 
+    ex_rare = (ex_f.where(rare).select("doc_id", "hs")
+               .join(F.broadcast(stats), "doc_id"))
+    pairs_rare = _pair_counts(ex_rare, "inter_rare",
+                              carry=("n_sh", "n_hot"))
+
     cand = (pairs_rare
-            .join(stats.select(F.col("doc_id").alias("doc_a"),
-                               F.col("n_sh").alias("n_a"),
-                               F.col("n_hot").alias("hot_a")), "doc_a")
-            .join(stats.select(F.col("doc_id").alias("doc_b"),
-                               F.col("n_sh").alias("n_b"),
-                               F.col("n_hot").alias("hot_b")), "doc_b")
+            .withColumnRenamed("n_sh_a", "n_a")
+            .withColumnRenamed("n_sh_b", "n_b")
+            .withColumnRenamed("n_hot_a", "hot_a")
+            .withColumnRenamed("n_hot_b", "hot_b")
             .withColumn("max_inter",
                         F.col("inter_rare") + F.least("hot_a", "hot_b"))
             .where(F.lit(1000) * F.col("max_inter")

@@ -90,9 +90,13 @@ def main():
     dedup.ngram_jaccard_pairs(docs)  # materializes the bucketed table
     from qfilter_spark.functions.dedup import _ngram_ex_cache
     table = next(reversed(_ngram_ex_cache.values()))[0]  # most recent table
-    rare = spark.table(table).where(F.col("freq") <= 500) \
-        .select("doc_id", "hs")
-    pc = dedup._pair_counts(rare, "inter_rare")
+    ex_t = spark.table(table)
+    stats = ex_t.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        F.sum((F.col("freq") > 500).cast("long")).alias("n_hot"))
+    rare = (ex_t.where(F.col("freq") <= 500).select("doc_id", "hs")
+            .join(F.broadcast(stats), "doc_id"))
+    pc = dedup._pair_counts(rare, "inter_rare", carry=("n_sh", "n_hot"))
     plan5 = pc._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     print(plan5, file=sys.stderr)
@@ -100,12 +104,16 @@ def main():
     # aggregate must be satisfied by the bucketed scan (NO exchange on hs),
     # the freq filter must be pushed to parquet, and the only shuffle in
     # the whole plan is the legitimate final (doc_a, doc_b) aggregation
+    # the pair aggregation's grouping keys are struct-field accesses
+    # (a.doc_id), which Catalyst shuffles under a generated
+    # _groupingexpression name rather than the doc_a alias
     check("ngram posting-list pair counts: bucketed scan, pushed freq "
           "filter, no hs exchange, one pair shuffle",
           "Bucketed: true" in plan5
           and "LessThanOrEqual(freq,500)" in plan5
           and "hashpartitioning(hs" not in plan5
-          and "hashpartitioning(doc_a" in plan5)
+          and ("hashpartitioning(doc_a" in plan5
+               or "hashpartitioning(_groupingexpression" in plan5))
 
     spark.stop()
     print(f"{failures} failures")
