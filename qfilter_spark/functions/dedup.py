@@ -374,10 +374,72 @@ def _pair_counts(ex: DataFrame, count_name: str,
                .agg(*aggs))
 
 
+#: default rarity cutoff for the ngram-Jaccard candidate stage; shared
+#: with scripts/explain_audit.py so the audited plan can't drift from the
+#: production default
+DEFAULT_NGRAM_MAX_DF = 500
+
+
+def _rare_pair_stats(ex_f: DataFrame, max_df: int) -> DataFrame:
+    """Stats-annotated rare-shingle co-occurrence counts over the
+    materialized bucketed explode table: one row per ordered doc pair
+    sharing >= 1 rare shingle, with columns ``doc_a, doc_b, inter_rare,
+    n_a, n_b, hot_a, hot_b`` (each doc's total and corpus-hot shingle
+    counts). This is the stage both :func:`ngram_jaccard_pairs` and the
+    plan audit (scripts/explain_audit.py check 5) build, from ONE place,
+    so the audited plan is the production plan by construction.
+
+    Two plans, chosen by ``spark.qfilter.ngram.statsBroadcast``
+    (default ``true``):
+
+    - **broadcast-carry** (default): stats (one ~24-byte row per doc) is
+      broadcast-joined onto the explode rows — partitioning-preserving,
+      so the posting ``groupBy(hs)`` stays exchange-free — and carried
+      through the posting structs; the candidate filter then needs no
+      joins at all. The round-5 breakdown measured the alternative
+      (joining stats onto the PAIR set, 302M rows at 100k zipf docs) at
+      ~4x the cost of the whole pair stage. Caveat: a broadcast build
+      collects stats driver-side, so this plan has a hard ceiling at
+      Spark's 8 GB broadcast limit (~10^8 docs) and driver memory.
+    - **shuffle fallback** (conf ``false``): the round-1-4 shape — plain
+      posting-list pair counts, then two shuffle equi-joins of stats
+      onto the aggregated pair set. No driver-side build, no broadcast
+      ceiling; pays the pair-set joins instead. Set this beyond ~10^8
+      docs (a 10^12-doc deployment would instead bucket stats by doc_id
+      next to a doc_id-keyed copy of the explode — the same at-rest
+      pattern :func:`_materialize_bucketed` uses for ``hs``).
+    """
+    rare = F.col("freq") <= max_df
+    stats = ex_f.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        F.sum((~rare).cast("long")).alias("n_hot"))
+    spark = ex_f.sparkSession
+    broadcast_stats = (spark.conf.get(
+        "spark.qfilter.ngram.statsBroadcast", "true").lower() == "true")
+    if broadcast_stats:
+        ex_rare = (ex_f.where(rare).select("doc_id", "hs")
+                   .join(F.broadcast(stats), "doc_id"))
+        return (_pair_counts(ex_rare, "inter_rare",
+                             carry=("n_sh", "n_hot"))
+                .withColumnRenamed("n_sh_a", "n_a")
+                .withColumnRenamed("n_sh_b", "n_b")
+                .withColumnRenamed("n_hot_a", "hot_a")
+                .withColumnRenamed("n_hot_b", "hot_b"))
+    pairs = _pair_counts(ex_f.where(rare).select("doc_id", "hs"),
+                         "inter_rare")
+    return (pairs
+            .join(stats.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n_sh").alias("n_a"),
+                               F.col("n_hot").alias("hot_a")), "doc_a")
+            .join(stats.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n_sh").alias("n_b"),
+                               F.col("n_hot").alias("hot_b")), "doc_b"))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold_millis: int = 800,
-                        max_df: int = 500) -> DataFrame:
+                        max_df: int = DEFAULT_NGRAM_MAX_DF) -> DataFrame:
     """Exact n-gram Jaccard >= threshold WITHOUT minhash, as joins + counts.
 
     The 100 TB-shaped plan (replaces the round-1 pair-explosion self-join):
@@ -396,8 +458,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
        restricted to candidate docs, same join+count shape. Total
        intersection = inter_rare + inter_hot; union = n_a + n_b - inter.
 
-    No string arrays through any shuffle, no driver collects, every stage a
-    hash equi-join or partial-aggregated count. The one large intermediate
+    No string arrays through any shuffle, every stage a hash equi-join or
+    partial-aggregated count; the only driver-side build is the per-doc
+    stats broadcast (default plan — has a ~10^8-doc ceiling; set
+    ``spark.qfilter.ngram.statsBroadcast=false`` to restore the fully
+    shuffled shape, see :func:`_rare_pair_stats`). The one large intermediate
     (the freq-annotated explode) is checkpointed to a bucketed+sorted
     parquet table under ``spark.qfilter.intermediateDir`` (default: system
     temp dir), so its consumers scan co-partitioned and nothing is pinned
@@ -432,30 +497,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     annotated = ex.join(dfreq, "hs")
     ex_f = _materialize_bucketed(spark, annotated, n_parts)
 
-    # per-doc set + hot sizes in ONE pass (shingles are distinct per doc,
-    # so count == set size); broadcast-joined onto the EXPLODE and carried
-    # through the posting structs, so the candidate filter runs directly
-    # on the pair aggregation — the round-5 breakdown measured joining
-    # stats onto the pair set instead (302M rows at 100k zipf docs) at
-    # ~4x the cost of the whole pair stage. stats is n_docs rows (KBs-MBs
-    # at bench scale); a 10^12-doc deployment would bucket stats by
-    # doc_id next to a doc_id-keyed copy of the explode instead of
-    # broadcasting. The broadcast preserves the bucketed table's hs
-    # partitioning, so the posting groupBy stays exchange-free (audited).
-    stats = ex_f.groupBy("doc_id").agg(
-        F.count("*").alias("n_sh"),
-        F.sum((~rare).cast("long")).alias("n_hot"))
-
-    ex_rare = (ex_f.where(rare).select("doc_id", "hs")
-               .join(F.broadcast(stats), "doc_id"))
-    pairs_rare = _pair_counts(ex_rare, "inter_rare",
-                              carry=("n_sh", "n_hot"))
-
-    cand = (pairs_rare
-            .withColumnRenamed("n_sh_a", "n_a")
-            .withColumnRenamed("n_sh_b", "n_b")
-            .withColumnRenamed("n_hot_a", "hot_a")
-            .withColumnRenamed("n_hot_b", "hot_b")
+    # rare-pair counts with per-doc stats attached — plan choice
+    # (broadcast-carry vs shuffle joins) and its scale contract live in
+    # _rare_pair_stats, which the plan audit builds from the same place
+    cand = (_rare_pair_stats(ex_f, max_df)
             .withColumn("max_inter",
                         F.col("inter_rare") + F.least("hot_a", "hot_b"))
             .where(F.lit(1000) * F.col("max_inter")

@@ -11,6 +11,7 @@ Prints one PASS/FAIL line per check plus the formatted plans to stderr.
 """
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -90,30 +91,34 @@ def main():
     dedup.ngram_jaccard_pairs(docs)  # materializes the bucketed table
     from qfilter_spark.functions.dedup import _ngram_ex_cache
     table = next(reversed(_ngram_ex_cache.values()))[0]  # most recent table
-    ex_t = spark.table(table)
-    stats = ex_t.groupBy("doc_id").agg(
-        F.count("*").alias("n_sh"),
-        F.sum((F.col("freq") > 500).cast("long")).alias("n_hot"))
-    rare = (ex_t.where(F.col("freq") <= 500).select("doc_id", "hs")
-            .join(F.broadcast(stats), "doc_id"))
-    pc = dedup._pair_counts(rare, "inter_rare", carry=("n_sh", "n_hot"))
+    # the audited stage IS the production stage: _rare_pair_stats is the
+    # exact function ngram_jaccard_pairs calls, at the production default
+    # max_df — no hand-copied wiring that could drift
+    pc = dedup._rare_pair_stats(spark.table(table),
+                                dedup.DEFAULT_NGRAM_MAX_DF)
     plan5 = pc._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     print(plan5, file=sys.stderr)
-    # posting-list pair counting (round 5): the per-shingle collect_list
-    # aggregate must be satisfied by the bucketed scan (NO exchange on hs),
-    # the freq filter must be pushed to parquet, and the only shuffle in
-    # the whole plan is the legitimate final (doc_a, doc_b) aggregation
-    # the pair aggregation's grouping keys are struct-field accesses
-    # (a.doc_id), which Catalyst shuffles under a generated
-    # _groupingexpression name rather than the doc_a alias
-    check("ngram posting-list pair counts: bucketed scan, pushed freq "
-          "filter, no hs exchange, one pair shuffle",
+    # posting-list pair counting with carried stats (round 5): the
+    # per-shingle collect_list aggregate must be satisfied by the bucketed
+    # scan (NO exchange on hs), the freq filter must be pushed to parquet,
+    # the stats join must really BROADCAST (a silent degrade to a shuffle
+    # join on doc_id would re-create the pair-set-join cost the carry
+    # removed), and the ONLY hash exchanges are the two legitimate
+    # aggregations: the (doc_a, doc_b) pair shuffle (struct-field grouping
+    # keys surface under Catalyst's generated _groupingexpression name)
+    # and the per-doc stats aggregation on doc_id
+    hp_names = set(re.findall(r"hashpartitioning\((\w+)", plan5))
+    allowed = ("doc_a", "_groupingexpression", "doc_id")
+    check("ngram rare-pair stage (production _rare_pair_stats): bucketed "
+          "scan, pushed freq filter, broadcast stats join, exchanges "
+          "exactly {pair agg, stats agg}",
           "Bucketed: true" in plan5
-          and "LessThanOrEqual(freq,500)" in plan5
-          and "hashpartitioning(hs" not in plan5
-          and ("hashpartitioning(doc_a" in plan5
-               or "hashpartitioning(_groupingexpression" in plan5))
+          and f"LessThanOrEqual(freq,{dedup.DEFAULT_NGRAM_MAX_DF})" in plan5
+          and "BroadcastHashJoin" in plan5
+          and any(n.startswith(("doc_a", "_groupingexpression"))
+                  for n in hp_names)
+          and all(n.startswith(allowed) for n in hp_names))
 
     spark.stop()
     print(f"{failures} failures")

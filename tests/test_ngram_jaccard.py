@@ -231,3 +231,43 @@ def test_pair_counts_no_self_pairs_on_duplicate_doc_ids(spark):
     got = {(r.doc_a, r.doc_b): r.inter for r in rows}
     assert all(a != b for a, b in got), f"self-pair emitted: {got}"
     assert got[("d1", "d2")] >= 2      # real pair still counted
+
+    # the production rare stage runs the CARRY path (posting structs) —
+    # pin the same guard there, plus the carried values themselves
+    # (constant per doc, so min must reproduce them exactly)
+    ex_c = ex.withColumn(
+        "n_sh", F.when(F.col("doc_id") == "d1", 3).otherwise(2)
+    ).withColumn(
+        "n_hot", F.when(F.col("doc_id") == "d1", 1).otherwise(0))
+    rows_c = dedup._pair_counts(ex_c, "inter",
+                                carry=("n_sh", "n_hot")).collect()
+    got_c = {(r.doc_a, r.doc_b): r for r in rows_c}
+    assert all(a != b for a, b in got_c), f"self-pair emitted: {got_c}"
+    r12 = got_c[("d1", "d2")]
+    assert r12.inter == got[("d1", "d2")]   # counts agree with no-carry
+    assert (r12.n_sh_a, r12.n_hot_a) == (3, 1)
+    assert (r12.n_sh_b, r12.n_hot_b) == (2, 0)
+
+
+def test_rare_pair_stats_shuffle_fallback_matches_broadcast(spark):
+    """spark.qfilter.ngram.statsBroadcast=false must produce the exact
+    same pair set through the shuffle-join plan (the >10^8-doc escape
+    hatch for the broadcast build's 8 GB ceiling)."""
+    ex_f = spark.createDataFrame(
+        [("d1", 10, 1), ("d1", 11, 1), ("d1", 99, 9),
+         ("d2", 10, 1), ("d2", 11, 1),
+         ("d3", 11, 1), ("d3", 99, 9)],
+        "doc_id string, hs long, freq long")
+
+    def run():
+        rows = dedup._rare_pair_stats(ex_f, max_df=5).collect()
+        return sorted((r.doc_a, r.doc_b, r.inter_rare,
+                       r.n_a, r.n_b, r.hot_a, r.hot_b) for r in rows)
+
+    base = run()
+    assert base, "rare stage produced no pairs on a sharing corpus"
+    spark.conf.set("spark.qfilter.ngram.statsBroadcast", "false")
+    try:
+        assert run() == base
+    finally:
+        spark.conf.unset("spark.qfilter.ngram.statsBroadcast")
