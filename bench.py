@@ -22,7 +22,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      QFS_REPEATS (best-of repeats, default 2),
      QFS_QUERY_RETRY_SECS / QFS_QUERY_RETRIES (per-query min-of-k retry:
        queries slower than the threshold retry up to k=3 times),
-     QFS_SCALING=0 to skip the N-vs-4N scaling runs.
+     QFS_SCALING=0 to skip the N-vs-4N scaling runs,
+     QFS_QUERIES=0 to skip the per-query phase (scaling-focused re-runs
+       on this steal-prone host: the scaling block is the window-critical
+       part, so re-attempts shouldn't pay the ~25-min query phase).
 """
 
 from __future__ import annotations
@@ -276,6 +279,7 @@ def main():
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
     n_docs = int(os.environ.get("QFS_BENCH_DOCS", str(max(2000, int(200_000 * sf)))))
     do_scaling = os.environ.get("QFS_SCALING", "1") != "0"
+    do_queries = os.environ.get("QFS_QUERIES", "1") != "0"
 
     corpus_path = ensure_corpus(n_docs)
     scaling_docs = int(os.environ.get("QFS_SCALING_DOCS", "100000"))
@@ -292,8 +296,10 @@ def main():
         if head is None or h["tokens_per_sec_m"] > head["tokens_per_sec_m"]:
             head = h
     log(json.dumps(head, indent=2))
-    log("=== per-query timings ===")
-    timings = run_queries(spark, sf_dir)
+    timings = {}
+    if do_queries:
+        log("=== per-query timings ===")
+        timings = run_queries(spark, sf_dir)
     spark.stop()
 
     result = {

@@ -171,6 +171,13 @@ def tree_merge(partials, fan_in: int = 16, lineage=None, n_partials: int | None 
     rows = current.collect()
     if not rows:
         raise ValueError("tree_merge: empty partials")
+    if len(rows) > 1:
+        # an under-counted n_partials would end the loop with several
+        # roots; returning rows[0] would silently drop the other shards'
+        # contents from the final sketch
+        raise ValueError(
+            f"tree_merge: {len(rows)} roots remain after the final round "
+            "— n_partials under-counts the partials DataFrame")
     return bytes(rows[0]["payload"])
 
 

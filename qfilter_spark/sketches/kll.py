@@ -137,6 +137,11 @@ class KllSketch:
         off += 8
         sizes = np.frombuffer(payload, dtype=np.int64, offset=off, count=h)
         off += 8 * h
+        # sizes are signed on the wire; a corrupt negative value would make
+        # np.frombuffer(count=-1) silently consume the rest of the buffer
+        # instead of failing (every other codec's counts are unsigned)
+        if sizes.size and (sizes < 0).any():
+            raise ValueError("corrupt KLL blob: negative level size")
         levels = []
         for s in sizes:
             levels.append(np.frombuffer(payload, dtype=np.float64, offset=off,

@@ -217,6 +217,15 @@ def test_tree_merge_with_lineage_and_resume(spark, corpus_df, ngram_spec, tmp_pa
     assert resumed == blob
 
 
+def test_tree_merge_rejects_undercounted_n_partials(corpus_df, ngram_spec):
+    """Round-5 review: an n_partials below the real partial count ends the
+    reduction loop with several roots; returning rows[0] would silently
+    drop the other shards' contents. The guard must refuse instead."""
+    parts = partial_sketches(corpus_df, ngram_spec)
+    with pytest.raises(ValueError, match="roots remain"):
+        tree_merge(parts, fan_in=4, n_partials=1)
+
+
 def test_grouped_sketches_with_salting(spark, corpus_df):
     from pyspark.sql import functions as F
     spec = SketchSpec(kind="hll", params=dict(p=12), mode="hash_col", col="h")

@@ -134,6 +134,23 @@ def test_kll_rank_error(dist):
         assert abs(true_rank - q) <= 0.025, (dist, q, true_rank)
 
 
+def test_kll_decode_rejects_negative_level_size():
+    """Round-5 review: level sizes are signed int64 on the wire; a corrupt
+    negative size would make np.frombuffer(count=-1) silently consume the
+    rest of the buffer instead of failing."""
+    import struct
+
+    sk = KllSketch.create(k=200)
+    sk.update_values(np.arange(1000, dtype=np.float64))
+    blob = bytearray(sk.to_bytes())
+    # layout: 4B magic+kind, 13B (k,n,num_levels) header, 8B flags,
+    # then int64 level sizes — corrupt the first one
+    sizes_off = 4 + 13 + 8
+    blob[sizes_off:sizes_off + 8] = struct.pack("<q", -1)
+    with pytest.raises(ValueError, match="negative level size"):
+        loads(bytes(blob))
+
+
 def test_kll_merge_preserves_bound():
     rng = np.random.default_rng(1)
     parts = [rng.uniform(0, 1, 20_000) for _ in range(4)]
