@@ -244,7 +244,12 @@ class Filter:
         hi = int(np.searchsorted(self._fps, fp, side="right"))
         count = hi - lo
         if count >= max_count:
-            return count
+            # the reference's scan stops counting the moment it reaches
+            # max_count and returns that (src/lib.rs:1249-1254), so a
+            # no-op insert reports min(existing, max_count) — NOT the true
+            # copy count. Found by the live differential harness
+            # (tests/test_live_reference.py) on mixed-cap sequences.
+            return max_count
         if len(self) >= self.capacity():
             raise CapacityExceeded(f"len {len(self)} >= capacity {self.capacity()}")
         self._fps = np.insert(self._fps, lo, fp)
