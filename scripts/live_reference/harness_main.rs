@@ -20,6 +20,10 @@
 //!   fingerprints <id>                   -> ok <fp> <fp> ...
 //!   merge <id> <keep:0|1> <other_id>    -> ok | err <E>
 //!   shrink <id> / clear <id>            -> ok
+//!   bench <cap> <fp_rate> <n> <seed>    -> ok <insert_secs> <query_secs> <miss_query_secs> <n_found>
+//!       (throughput baseline: insert n xorshift64*-random hashes with
+//!        duplicate=true, query all n present + n absent, all timed
+//!        in-process so protocol overhead is excluded)
 //!   quit
 
 use std::io::{BufRead, Write};
@@ -140,6 +144,43 @@ fn main() {
             "clear" => {
                 filters[t[1].parse::<usize>().unwrap()].clear();
                 "ok".to_string()
+            }
+            "bench" => {
+                let cap: u64 = t[1].parse().unwrap();
+                let fp_rate: f64 = t[2].parse().unwrap();
+                let n: usize = t[3].parse().unwrap();
+                let seed: u64 = t[4].parse().unwrap();
+                let mut f = Filter::new(cap, fp_rate).unwrap();
+                let mut s = seed.max(1);
+                let mut next = move || {
+                    // xxhash-free xorshift64* PRNG (no deps)
+                    s ^= s >> 12;
+                    s ^= s << 25;
+                    s ^= s >> 27;
+                    s.wrapping_mul(0x2545F4914F6CDD1D)
+                };
+                let present: Vec<u64> = (0..n).map(|_| next()).collect();
+                let absent: Vec<u64> = (0..n).map(|_| next()).collect();
+                let t0 = std::time::Instant::now();
+                for &h in &present {
+                    f.insert_fingerprint(true, h).unwrap();
+                }
+                let insert_secs = t0.elapsed().as_secs_f64();
+                let t1 = std::time::Instant::now();
+                let mut found = 0u64;
+                for &h in &present {
+                    found += f.contains_fingerprint(h) as u64;
+                }
+                let query_secs = t1.elapsed().as_secs_f64();
+                let t2 = std::time::Instant::now();
+                for &h in &absent {
+                    found += f.contains_fingerprint(h) as u64;
+                }
+                let miss_secs = t2.elapsed().as_secs_f64();
+                format!(
+                    "ok {} {} {} {}",
+                    insert_secs, query_secs, miss_secs, found
+                )
             }
             other => format!("err unknown_command {}", other),
         };
