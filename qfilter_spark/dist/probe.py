@@ -10,6 +10,29 @@ from __future__ import annotations
 
 import numpy as np
 
+#: per-worker sketch cache: PySpark reuses python worker processes across
+#: tasks, and a broadcast's .value object is stable per process — caching the
+#: decoded sketch by its identity makes decode + probe-index build once per
+#: WORKER instead of once per task. Values hold a strong ref to the blob, so
+#: the id() key cannot be reused while the entry lives. Tiny FIFO: a probe
+#: job broadcasts one blob; 4 covers overlapping jobs.
+_SKETCH_CACHE: dict = {}
+_SKETCH_CACHE_MAX = 4
+
+
+def _load_cached(blob):
+    from .. import sketches
+
+    key = id(blob)
+    hit = _SKETCH_CACHE.get(key)
+    if hit is not None and hit[0] is blob:
+        return hit[1]
+    sk = sketches.loads(blob)
+    if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
+        _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
+    _SKETCH_CACHE[key] = (blob, sk)
+    return sk
+
 
 def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
                  as_bool: bool = False):
@@ -41,7 +64,7 @@ def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
     schema = f"{', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}, {out_col} {out_type}"
 
     def run(batches):
-        sk = sketches.loads(b.value)
+        sk = _load_cached(b.value)
         for batch in batches:
             col_in = batch.column(hash_col)
             if col_in.null_count:

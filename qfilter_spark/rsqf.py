@@ -49,7 +49,8 @@ _FMT_BLOCKS = 2
 class Filter:
     """A quotient filter over 64-bit hashes with counting and merge support."""
 
-    __slots__ = ("qbits", "rbits", "max_qbits", "_fps")
+    __slots__ = ("qbits", "rbits", "max_qbits", "_fps", "_probe_words",
+                 "_probe_seen")
 
     # ------------------------------------------------------------------
     # constructors (src/lib.rs:392-466)
@@ -63,6 +64,8 @@ class Filter:
         self.rbits = rbits
         self.max_qbits = max_qbits
         self._fps = np.empty(0, dtype=np.uint64) if fps is None else fps
+        self._probe_words = None  # lazy probe bitmap; see _probe_bitmap()
+        self._probe_seen = 0      # cumulative probe volume (build heuristic)
 
     @classmethod
     def new(cls, capacity: int, fp_rate: float) -> "Filter":
@@ -125,6 +128,7 @@ class Filter:
 
     def clear(self) -> None:
         self._fps = np.empty(0, dtype=np.uint64)
+        self._probe_words = None
 
     # ------------------------------------------------------------------
     # fingerprints
@@ -167,6 +171,75 @@ class Filter:
     #: parallel first-touch of fresh large pages is pathologically slow
     _PROBE_CHUNK = 65536
 
+    #: probe-bitmap gate: one bit per point of the 2^fs fingerprint domain.
+    #: Worth building only when the domain is small (<= this many bytes) and
+    #: not wildly sparse relative to the stored set (<= 8x the fps array).
+    _BITMAP_MAX_BYTES = 64 << 20
+
+    def _probe_bitmap(self) -> np.ndarray | None:
+        """Exact membership bitmap over the 2^fs fingerprint domain, or None.
+
+        One bit per possible fingerprint, so a probe is a single random
+        load + bit test — no sort, no binary search (~60 M probes/s vs
+        ~11 M/s for the argsort+searchsorted path at 1.9M stored). Exact,
+        not approximate: bit set <=> fingerprint present. Cached until any
+        mutation reassigns ``_fps``; grow/shrink keep the fingerprint size
+        (qbits+1/rbits-1) so the cache survives them. This is probe-time
+        scratch, NOT part of the at-rest format (memory_usage() excludes it).
+        """
+        if self._probe_words is not None:
+            return self._probe_words
+        fs = self.fingerprint_size()
+        if fs > 32:
+            return None
+        nbytes = (1 << fs) >> 3
+        if nbytes > self._BITMAP_MAX_BYTES or nbytes > 8 * max(self._fps.nbytes, 1 << 20):
+            return None
+        fps = self._fps
+        words = np.zeros(max((1 << fs) >> 6, 1), dtype=np.uint64)
+        # chunked like every other kernel here: full-size temporaries under
+        # concurrent workers hit this host's parallel first-touch pathology
+        ch = self._PROBE_CHUNK
+        for s in range(0, fps.size, ch):
+            c = fps[s:s + ch]
+            widx = (c >> np.uint64(6)).astype(np.int64)
+            bits = np.uint64(1) << (c & np.uint64(63))
+            # fps is sorted, so word indices group contiguously: OR each
+            # group with reduceat instead of the per-element bitwise_or.at
+            # loop; |= composes a group split across a chunk boundary
+            new_group = np.empty(widx.size, dtype=bool)
+            new_group[0] = True
+            np.not_equal(widx[1:], widx[:-1], out=new_group[1:])
+            first = np.flatnonzero(new_group)
+            words[widx[first]] |= np.bitwise_or.reduceat(bits, first)
+        self._probe_words = words
+        return words
+
+    def _probe_bitmap_if_worth(self, n_queries: int) -> np.ndarray | None:
+        """The bitmap, building it only once probe volume justifies the cost.
+
+        Build is O(len(self)) (one chunked pass + zeroing the domain), probe
+        saving is ~linear in queries; measured breakeven is around half the
+        stored size, so the build triggers once CUMULATIVE probe volume on
+        this filter reaches len/2 — a one-shot small batch against a big
+        filter keeps the cheap sorted-search path, while a stream of Arrow
+        batches (the distributed probe shape) converts after the first few.
+        """
+        self._probe_seen += n_queries
+        if self._probe_words is None and self._probe_seen < (self._fps.size >> 1):
+            return None
+        return self._probe_bitmap()
+
+    def _bitmap_test(self, words: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Membership bit test per query (chunked gathers, see _PROBE_CHUNK)."""
+        out = np.empty(fps.size, dtype=bool)
+        ch = self._PROBE_CHUNK
+        for s in range(0, fps.size, ch):
+            c = fps[s:s + ch]
+            w = words[(c >> np.uint64(6)).astype(np.int64)]
+            out[s:s + ch] = (w >> (c & np.uint64(63))) & np.uint64(1)
+        return out
+
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership for a uint64 hash column.
 
@@ -181,6 +254,9 @@ class Filter:
         if n == 0 or fps.size == 0:
             return np.zeros(fps.size, dtype=bool)
         if fps.size > 4096:
+            words = self._probe_bitmap_if_worth(fps.size)
+            if words is not None:
+                return self._bitmap_test(words, fps)
             order = np.argsort(fps)
             out = np.empty(fps.size, dtype=bool)
             ch = self._PROBE_CHUNK
@@ -199,6 +275,24 @@ class Filter:
 
     def count_hashes(self, hashes: np.ndarray) -> np.ndarray:
         fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
+        if self._fps.size == 0:
+            return np.zeros(fps.size, dtype=np.int64)
+        if fps.size > 4096:
+            words = self._probe_bitmap_if_worth(fps.size)
+            if words is not None:
+                # bitmap prefilter: absent fingerprints count 0 without any
+                # sort; only the present subset needs the binary search
+                present = self._bitmap_test(words, fps)
+                out = np.zeros(fps.size, dtype=np.int64)
+                sub = fps[present]
+                if sub.size:
+                    out[present] = self._counts_searchsorted(sub)
+                return out
+        return self._counts_searchsorted(fps)
+
+    def _counts_searchsorted(self, fps: np.ndarray) -> np.ndarray:
+        """Per-query multiplicities via binary search (sorted-chunked when
+        large — random-order probes of a big table are cache-miss-bound)."""
         if fps.size > 4096:
             order = np.argsort(fps)
             out = np.empty(fps.size, dtype=np.int64)
@@ -253,6 +347,7 @@ class Filter:
         if len(self) >= self.capacity():
             raise CapacityExceeded(f"len {len(self)} >= capacity {self.capacity()}")
         self._fps = np.insert(self._fps, lo, fp)
+        self._probe_words = None
         return count
 
     def remove(self, item) -> bool:
@@ -270,6 +365,7 @@ class Filter:
         if lo >= len(self) or self._fps[lo] != fp:
             return False
         self._fps = np.delete(self._fps, lo)
+        self._probe_words = None
         return True
 
     # ------------------------------------------------------------------
@@ -293,8 +389,13 @@ class Filter:
             admit = np.ones(fps.size, dtype=bool)
             n_admit = fps.size
         else:
-            # multiplicity of each incoming fp among *earlier* incoming equals
-            order = np.argsort(fps, kind="stable")
+            # multiplicity of each incoming fp among *earlier* incoming equals.
+            # Unstable argsort is sufficient: within a duplicate group the
+            # cumcounts are a permutation, so a different *position* subset may
+            # be admitted, but the admitted values (all equal), the final
+            # multiset, and the returned n_admit are identical — and the
+            # unstable u64 path is ~3.4x faster here.
+            order = np.argsort(fps)
             sorted_fps = fps[order]
             new_group = np.empty(fps.size, dtype=bool)
             new_group[0] = True
@@ -326,8 +427,12 @@ class Filter:
         if fps.size == 0:
             return
         merged = np.concatenate([self._fps, fps])
-        merged.sort(kind="stable")
+        # default (introsort), not stable: this sorts plain uint64 values, and
+        # equal keys are indistinguishable — stability buys nothing and this
+        # numpy's stable u64 path is ~7x slower (0.21s vs 0.03s at 1.9M)
+        merged.sort()
         self._fps = merged
+        self._probe_words = None
 
     def remove_hashes(self, hashes: np.ndarray) -> int:
         """Batch remove: one occurrence per request, if present.
@@ -357,6 +462,7 @@ class Filter:
         np.add.at(drop, starts + take, -1)
         in_drop = np.cumsum(drop[:-1]) > 0
         self._fps = self._fps[~in_drop]
+        self._probe_words = None
         return removed
 
     # ------------------------------------------------------------------

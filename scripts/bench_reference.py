@@ -82,6 +82,9 @@ def bench_ours(cpu: int, cap: int, fp_rate: float, n: int, reps: int) -> dict:
             t0 = time.perf_counter()
             f.insert_hashes(present)
             insert_secs = time.perf_counter() - t0
+            tb = time.perf_counter()
+            f._probe_bitmap()  # one-time probe-index build, timed as its own phase
+            bitmap_build_secs = time.perf_counter() - tb
             t1 = time.perf_counter()
             hits = int(f.contains_hashes(present).sum())
             query_hit_secs = time.perf_counter() - t1
@@ -93,6 +96,7 @@ def bench_ours(cpu: int, cap: int, fp_rate: float, n: int, reps: int) -> dict:
             blocks_encode_secs = time.perf_counter() - t3
             assert hits == n
             r = {"insert_secs": insert_secs,
+                 "bitmap_build_secs": bitmap_build_secs,
                  "query_hit_secs": query_hit_secs,
                  "query_miss_secs": query_miss_secs,
                  "blocks_encode_secs": blocks_encode_secs,
@@ -120,11 +124,14 @@ f = Filter.new(cap, fp_rate)
 t0 = time.perf_counter()
 f.insert_hashes(hashes)
 ins = time.perf_counter() - t0
+tb = time.perf_counter()
+f._probe_bitmap()
+bld = time.perf_counter() - tb
 t1 = time.perf_counter()
 hits = int(f.contains_hashes(hashes).sum())
 q = time.perf_counter() - t1
 assert hits == n
-print(ins, q)
+print(ins, bld, q)
 """
 
 
@@ -142,12 +149,13 @@ def bench_ours_sharded(cpus: list[int], cap: int, fp_rate: float, n: int,
              str(c), str(per), str(cap), str(fp_rate), str(100 + rep * 31 + i)],
             stdout=subprocess.PIPE, text=True)
             for i, c in enumerate(cpus)]
-        ins, q = 0.0, 0.0
+        ins, bld, q = 0.0, 0.0, 0.0
         for p in procs:
             out, _ = p.communicate()
-            a, b = map(float, out.split())
-            ins, q = max(ins, a), max(q, b)   # wall = slowest shard
-        r = {"insert_secs": ins, "query_hit_secs": q}
+            a, c, b = map(float, out.split())
+            # wall = slowest shard
+            ins, bld, q = max(ins, a), max(bld, c), max(q, b)
+        r = {"insert_secs": ins, "bitmap_build_secs": bld, "query_hit_secs": q}
         best = r if best is None else {k: min(best[k], r[k]) for k in r}
     return {**best, "n_workers": len(cpus), "n_per_worker": per}
 
