@@ -14,10 +14,40 @@ import numpy as np
 #: tasks, and a broadcast's .value object is stable per process — caching the
 #: decoded sketch by its identity makes decode + probe-index build once per
 #: WORKER instead of once per task. Values hold a strong ref to the blob, so
-#: the id() key cannot be reused while the entry lives. Tiny FIFO: a probe
-#: job broadcasts one blob; 4 covers overlapping jobs.
+#: the id() key cannot be reused while the entry lives. FIFO bounded BOTH by
+#: entry count and by approximate resident bytes: with worker reuse on
+#: (spark.python.worker.reuse default), unbounded pinned blobs would hold
+#: GBs per node across a pipeline that probes several large sketches
+#: (round-5 code-review finding). A single over-budget sketch still caches
+#: (cache of one) — the per-task decode it saves is the whole point.
 _SKETCH_CACHE: dict = {}
 _SKETCH_CACHE_MAX = 4
+_SKETCH_CACHE_MAX_BYTES = 192 << 20
+
+
+def _approx_resident_bytes(blob, sk) -> int:
+    """Blob + every numpy array on the decoded sketch (one nested level, for
+    wrappers like RsqfSketch->Filter) + headroom for the probe bitmap an RSQF
+    may build LATER while cached (bounded by its own gate)."""
+    def attrs(obj):
+        names = list(getattr(type(obj), "__slots__", ()) or ())
+        names += list(getattr(obj, "__dict__", ()) or ())
+        return [getattr(obj, nm, None) for nm in names]
+
+    total = len(blob)
+    for v in attrs(sk):
+        if isinstance(v, np.ndarray):
+            total += v.nbytes
+        elif v is not None and not isinstance(v, (int, float, str, bytes, bool)):
+            for w in attrs(v):
+                if isinstance(w, np.ndarray):
+                    total += w.nbytes
+    for obj in (sk, *attrs(sk)):
+        fps = getattr(obj, "_fps", None)
+        if isinstance(fps, np.ndarray):
+            gate = getattr(type(obj), "_BITMAP_MAX_BYTES", 0)
+            total += min(gate, 8 * max(fps.nbytes, 1 << 20))
+    return total
 
 
 def _load_cached(blob):
@@ -28,9 +58,13 @@ def _load_cached(blob):
     if hit is not None and hit[0] is blob:
         return hit[1]
     sk = sketches.loads(blob)
-    if len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX:
-        _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
-    _SKETCH_CACHE[key] = (blob, sk)
+    cost = _approx_resident_bytes(blob, sk)
+    held = sum(e[2] for e in _SKETCH_CACHE.values())
+    while _SKETCH_CACHE and (len(_SKETCH_CACHE) >= _SKETCH_CACHE_MAX
+                             or held + cost > _SKETCH_CACHE_MAX_BYTES):
+        _, _, freed = _SKETCH_CACHE.pop(next(iter(_SKETCH_CACHE)))
+        held -= freed
+    _SKETCH_CACHE[key] = (blob, sk, cost)
     return sk
 
 

@@ -128,7 +128,7 @@ class Filter:
 
     def clear(self) -> None:
         self._fps = np.empty(0, dtype=np.uint64)
-        self._probe_words = None
+        self._invalidate_probe_cache()
 
     # ------------------------------------------------------------------
     # fingerprints
@@ -175,6 +175,17 @@ class Filter:
     #: Worth building only when the domain is small (<= this many bytes) and
     #: not wildly sparse relative to the stored set (<= 8x the fps array).
     _BITMAP_MAX_BYTES = 64 << 20
+
+    def _invalidate_probe_cache(self) -> None:
+        """Drop the probe bitmap AND the cumulative-volume credit.
+
+        Probes answered before a mutation must not pay for a rebuild after
+        it: without the reset, once the len/2 threshold has been crossed a
+        single >4096-row batch after every mutation would re-zero and
+        re-populate the whole 2^fs domain — ~len/2-probes' worth of work
+        charged to one batch (code-review finding, round 5)."""
+        self._probe_words = None
+        self._probe_seen = 0
 
     def _probe_bitmap(self) -> np.ndarray | None:
         """Exact membership bitmap over the 2^fs fingerprint domain, or None.
@@ -347,7 +358,7 @@ class Filter:
         if len(self) >= self.capacity():
             raise CapacityExceeded(f"len {len(self)} >= capacity {self.capacity()}")
         self._fps = np.insert(self._fps, lo, fp)
-        self._probe_words = None
+        self._invalidate_probe_cache()
         return count
 
     def remove(self, item) -> bool:
@@ -365,7 +376,7 @@ class Filter:
         if lo >= len(self) or self._fps[lo] != fp:
             return False
         self._fps = np.delete(self._fps, lo)
-        self._probe_words = None
+        self._invalidate_probe_cache()
         return True
 
     # ------------------------------------------------------------------
@@ -385,17 +396,11 @@ class Filter:
         fps = np.asarray(hashes, dtype=np.uint64) & self._fp_mask()
         if fps.size == 0:
             return 0
-        if max_count >= _U64_MAX:
-            admit = np.ones(fps.size, dtype=bool)
-            n_admit = fps.size
-        else:
-            # multiplicity of each incoming fp among *earlier* incoming equals.
-            # Unstable argsort is sufficient: within a duplicate group the
-            # cumcounts are a permutation, so a different *position* subset may
-            # be admitted, but the admitted values (all equal), the final
-            # multiset, and the returned n_admit are identical — and the
-            # unstable u64 path is ~3.4x faster here.
-            order = np.argsort(fps)
+
+        def admit_mask(kind) -> np.ndarray:
+            # multiplicity of each incoming fp among *earlier* incoming equals
+            # (by sort order `kind`), capped against what's already stored.
+            order = np.argsort(fps, kind=kind)
             sorted_fps = fps[order]
             new_group = np.empty(fps.size, dtype=bool)
             new_group[0] = True
@@ -404,15 +409,33 @@ class Filter:
             cumcount_sorted = np.arange(fps.size) - group_start
             cumcount = np.empty(fps.size, dtype=np.int64)
             cumcount[order] = cumcount_sorted
-            existing = self.count_hashes(fps)
-            admit = existing + cumcount < max_count
+            return self.count_hashes(fps) + cumcount < max_count
+
+        if max_count >= _U64_MAX:
+            admit = np.ones(fps.size, dtype=bool)
+            n_admit = fps.size
+        else:
+            # Unstable argsort is sufficient on the success path: within a
+            # duplicate group the cumcounts are a permutation, so a different
+            # *position* subset may be admitted, but the admitted values (all
+            # equal), the final multiset, and the returned n_admit are
+            # identical — and the unstable u64 path is ~3.4x faster here.
+            admit = admit_mask(None)
             n_admit = int(admit.sum())
 
         while len(self) + n_admit > self.capacity():
             if auto_grow and self.max_qbits is not None and self.max_qbits > self.qbits:
                 self.grow()
             else:
-                # admit the longest prefix that fits, then fail
+                # admit the longest prefix that fits, then fail. The PREFIX cut
+                # makes position matter: recompute the mask with a stable sort
+                # so "longest admissible prefix" means sequential-insert order
+                # (unstable may admit a later duplicate over an earlier one —
+                # same multiset overall, different values within a prefix;
+                # code-review finding, round 5). Rare path: only on overflow
+                # of a non-growable filter with a finite cap.
+                if max_count < _U64_MAX:
+                    admit = admit_mask("stable")
                 room = self.capacity() - len(self)
                 cum = np.cumsum(admit)
                 cutoff = int(np.searchsorted(cum, room, side="right"))
@@ -432,7 +455,7 @@ class Filter:
         # numpy's stable u64 path is ~7x slower (0.21s vs 0.03s at 1.9M)
         merged.sort()
         self._fps = merged
-        self._probe_words = None
+        self._invalidate_probe_cache()
 
     def remove_hashes(self, hashes: np.ndarray) -> int:
         """Batch remove: one occurrence per request, if present.
@@ -462,7 +485,7 @@ class Filter:
         np.add.at(drop, starts + take, -1)
         in_drop = np.cumsum(drop[:-1]) > 0
         self._fps = self._fps[~in_drop]
-        self._probe_words = None
+        self._invalidate_probe_cache()
         return removed
 
     # ------------------------------------------------------------------

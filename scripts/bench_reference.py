@@ -39,17 +39,7 @@ from qfilter_spark.rsqf import Filter  # noqa: E402
 
 
 def idlest_cpu(sample_secs: float = 0.3) -> int:
-    def snap():
-        out = {}
-        for line in open("/proc/stat"):
-            if line.startswith("cpu") and line[3].isdigit():
-                f = line.split()
-                out[int(f[0][3:])] = sum(map(int, f[1:9])) - int(f[4])
-        return out
-    a = snap()
-    time.sleep(sample_secs)
-    b = snap()
-    return min(b, key=lambda c: b[c] - a[c])
+    return idlest_cpus(1, sample_secs)[0]
 
 
 def bench_reference(binary, cpu: int, cap: int, fp_rate: float, n: int,
@@ -204,7 +194,7 @@ def main():
                  "query_miss_mps": mps(ours["query_miss_secs"]),
                  "insert_plus_blocks_mps": mps(
                      ours["insert_secs"] + ours["blocks_encode_secs"])},
-        "ratio_ours_over_ref": {
+        "speedup_ours_vs_ref": {  # ref_secs / ours_secs: >1 means ours is faster
             "insert": round(ref["insert_secs"] / ours["insert_secs"], 3),
             "query_hit": round(
                 ref["query_hit_secs"] / ours["query_hit_secs"], 3),

@@ -48,6 +48,12 @@ xxhash-rust = {{ path = "../xxhash-rust" }}
 """
 
 
+def _sync(path: Path, content: str) -> None:
+    """Write only when the content differs (preserves mtimes for cargo)."""
+    if not path.is_file() or path.read_text() != content:
+        path.write_text(content)
+
+
 def cargo_available() -> bool:
     return shutil.which("cargo") is not None
 
@@ -75,11 +81,12 @@ def ensure_harness(workdir: str | None = None) -> Path:
     harness = ws / "harness"
     (stub / "src").mkdir(parents=True, exist_ok=True)
     (harness / "src").mkdir(parents=True, exist_ok=True)
-    (stub / "Cargo.toml").write_text(_STUB_TOML)
-    shutil.copyfile(_SRC / "xxhash_stub.rs", stub / "src" / "lib.rs")
-    (harness / "Cargo.toml").write_text(
-        _HARNESS_TOML.format(ref_path=ref))
-    shutil.copyfile(_SRC / "harness_main.rs", harness / "src" / "main.rs")
+    # write-if-changed: cargo's freshness check is mtime-based, so an
+    # unconditional write would force a full recompile on every call
+    _sync(stub / "Cargo.toml", _STUB_TOML)
+    _sync(stub / "src" / "lib.rs", (_SRC / "xxhash_stub.rs").read_text())
+    _sync(harness / "Cargo.toml", _HARNESS_TOML.format(ref_path=ref))
+    _sync(harness / "src" / "main.rs", (_SRC / "harness_main.rs").read_text())
 
     env = dict(os.environ)
     env["CARGO_HOME"] = str(ws / "cargo_home")   # ignore user-level config

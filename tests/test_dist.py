@@ -353,3 +353,38 @@ def test_probe_hashes_empty_filter_and_empty_frame(spark):
     assert out.where("est_count").count() == 0          # nothing contained
     empty_df = df.where("h IS NULL AND h IS NOT NULL")  # 0 rows
     assert probe_hashes(empty_df, empty_filter, "h").count() == 0
+
+
+def test_sketch_cache_bounded_by_bytes(monkeypatch):
+    """The per-worker decoded-sketch cache evicts by approximate resident
+    BYTES, not just entry count: with python-worker reuse, four pinned
+    multi-MB sketches would otherwise stay resident per worker for its
+    lifetime (round-5 code-review finding)."""
+    import qfilter_spark.dist.probe as probe_mod
+    from qfilter_spark import sketches
+
+    def blob_of(seed, n=20_000):
+        rng = np.random.default_rng(seed)
+        sk = sketches.create("rsqf", capacity=1 << 15)
+        sk.update_hashes(rng.integers(0, 1 << 64, size=n, dtype=np.uint64))
+        return sk.to_bytes()
+
+    monkeypatch.setattr(probe_mod, "_SKETCH_CACHE", {})
+    b1, b2, b3 = blob_of(1), blob_of(2), blob_of(3)
+    probe_mod._load_cached(b1)
+    one_cost = next(iter(probe_mod._SKETCH_CACHE.values()))[2]
+    assert one_cost > len(b1)            # counts decoded arrays, not just blob
+    # budget for about two entries: the third insert must evict the first
+    monkeypatch.setattr(probe_mod, "_SKETCH_CACHE_MAX_BYTES",
+                        int(one_cost * 2.5))
+    probe_mod._load_cached(b2)
+    assert len(probe_mod._SKETCH_CACHE) == 2
+    probe_mod._load_cached(b3)
+    assert len(probe_mod._SKETCH_CACHE) == 2
+    assert id(b1) not in probe_mod._SKETCH_CACHE       # FIFO evicted
+    # cache hit returns the identical decoded object (no re-decode)
+    assert probe_mod._load_cached(b3) is probe_mod._load_cached(b3)
+    # an over-budget single sketch still caches (cache of one)
+    monkeypatch.setattr(probe_mod, "_SKETCH_CACHE_MAX_BYTES", 1)
+    probe_mod._load_cached(b1)
+    assert list(e[0] for e in probe_mod._SKETCH_CACHE.values()) == [b1]

@@ -357,3 +357,112 @@ def test_capacity_exceeded_parity(ref):
             break
         assert i < 10_000, "never filled"
     assert len(ours) == len(theirs) == ours.capacity()
+
+# ---------------------------------------------------------------------------
+# Bulk-kernel differentials: insert_hashes / contains_hashes / count_hashes /
+# remove_hashes are the kernels every Spark partition actually runs inside the
+# Arrow UDFs (dist/agg.py, dist/sharded.py, sketches/*); the tests above drive
+# the scalar paths only. Here the bulk kernels are compared op-for-op against
+# the reference's sequential public API on the same hash streams, including
+# the >4096-probe sorted-chunk/bitmap branches.
+
+
+def _ref_insert_stream(theirs: RefFilter, hashes, max_count: int) -> int:
+    """Feed the stream through the reference per-op; return #admitted."""
+    admitted = 0
+    for h in map(int, hashes):
+        status, got = theirs.insert_fingerprint_counting(max_count, h)
+        assert status == "ok"
+        if got < max_count:
+            admitted += 1
+    return admitted
+
+
+@pytest.mark.parametrize("max_count,seed", [(U64, 51), (1, 53), (3, 57)])
+def test_bulk_insert_matches_reference(ref, max_count, seed):
+    """One insert_hashes call == the reference's sequential insert stream:
+    identical admitted count, len, and full fingerprints() multiset, for
+    dup (U64), set (1), and capped-counting (3) semantics."""
+    rng = np.random.default_rng(seed)
+    universe = rng.integers(0, U64, size=1500, dtype=np.uint64)
+    stream = universe[rng.integers(0, universe.size, size=4000)]
+    ours = Filter.new(8192, 0.01)
+    theirs = RefFilter.new(ref, 8192, 0.01)
+    n_admit = ours.insert_hashes(stream, max_count=int(max_count))
+    assert n_admit == _ref_insert_stream(theirs, stream, int(max_count))
+    assert_same_state(ours, theirs)
+
+
+def test_bulk_probe_matches_reference(ref):
+    """contains_hashes / count_hashes on a >4096 probe batch (the sorted-chunk
+    / bitmap-eligible branch) must answer exactly like the reference's per-op
+    contains/count on every element."""
+    rng = np.random.default_rng(61)
+    universe = rng.integers(0, U64, size=1200, dtype=np.uint64)
+    stream = universe[rng.integers(0, universe.size, size=3000)]
+    ours = Filter.new(8192, 0.01)
+    theirs = RefFilter.new(ref, 8192, 0.01)
+    ours.insert_hashes(stream)
+    _ref_insert_stream(theirs, stream, U64)
+    absent = rng.integers(0, U64, size=3000, dtype=np.uint64)
+    probes = np.concatenate([universe, absent])[
+        rng.permutation(universe.size + absent.size)]
+    assert probes.size > 4096
+    got_contains = ours.contains_hashes(probes)
+    got_counts = ours.count_hashes(probes)
+    for i, h in enumerate(map(int, probes)):
+        assert bool(got_contains[i]) == theirs.contains_fingerprint(h), i
+        assert int(got_counts[i]) == theirs.count_fingerprint(h), i
+
+
+def test_bulk_remove_matches_reference(ref):
+    """remove_hashes (the distributed retraction kernel) == a sequence of
+    reference removes: same #removed (incl. over-asks) and same survivors."""
+    rng = np.random.default_rng(67)
+    universe = rng.integers(0, U64, size=400, dtype=np.uint64)
+    stream = universe[rng.integers(0, universe.size, size=1500)]
+    ours = Filter.new(4096, 0.01)
+    theirs = RefFilter.new(ref, 4096, 0.01)
+    ours.insert_hashes(stream)
+    _ref_insert_stream(theirs, stream, U64)
+    # over-ask: request more copies of some fps than exist, plus absent fps
+    req = np.concatenate([
+        universe[rng.integers(0, universe.size, size=900)],
+        rng.integers(0, U64, size=100, dtype=np.uint64)])
+    removed = ours.remove_hashes(req)
+    ref_removed = sum(theirs.remove_fingerprint(int(h)) for h in req)
+    assert removed == ref_removed
+    assert_same_state(ours, theirs)
+
+
+def test_bulk_insert_growth_matches_reference(ref):
+    """A single bulk insert that forces multiple doublings must land on the
+    same capacity and state the reference reaches growing per-op."""
+    rng = np.random.default_rng(71)
+    stream = rng.integers(0, U64, size=5000, dtype=np.uint64)
+    ours = Filter.new_resizeable(64, 8192, 0.01)
+    theirs = RefFilter.new_resizeable(ref, 64, 8192, 0.01)
+    start_cap = ours.capacity()
+    ours.insert_hashes(stream)
+    _ref_insert_stream(theirs, stream, U64)
+    assert ours.capacity() > start_cap          # really grew
+    assert ours.capacity_resizeable() == theirs.capacity_resizeable()
+    assert_same_state(ours, theirs)
+
+
+def test_bulk_capacity_exceeded_parity(ref):
+    """Overfilling a fixed-size filter in one bulk call: same error, and the
+    longest-admissible-prefix state equals the reference's stop-at-overflow
+    state (both end exactly full with the same prefix admitted)."""
+    ours = Filter.new(64, 0.01)
+    theirs = RefFilter.new(ref, 64, 0.01)
+    rng = np.random.default_rng(73)
+    stream = rng.integers(0, U64, size=ours.capacity() + 40, dtype=np.uint64)
+    with pytest.raises(CapacityExceeded):
+        ours.insert_hashes(stream, auto_grow=False)
+    for h in map(int, stream):
+        status, _ = theirs.insert_fingerprint(True, h)
+        if status == "err":
+            break
+    assert len(ours) == len(theirs) == ours.capacity()
+    assert_same_state(ours, theirs)

@@ -179,3 +179,27 @@ def test_chunk_boundaries(n):
                         rng.integers(0, 1 << 64, size=n, dtype=np.uint64)])
     assert (f.contains_hashes(q) == g.contains_hashes(q)).all()
     assert (f.count_hashes(q) == g.count_hashes(q)).all()
+
+
+def test_mutation_resets_probe_volume_credit():
+    """Invalidation must also reset the cumulative probe counter: probes
+    answered before a mutation don't justify rebuilding the bitmap for the
+    first small batch after it (round-5 code-review regression — without the
+    reset, every mutate+probe cycle re-paid the full O(len + 2^fs/8) build)."""
+    f, present, _ = _mk(n=40_000, cap=1 << 16)
+    n = len(f)
+    # cross the len/2 cumulative threshold and build the bitmap
+    f.contains_hashes(present[: n // 2 + 4096 + 1])
+    assert f._probe_words is not None
+    # any mutation drops the bitmap AND the credit
+    f.insert_fingerprint(True, 12345)
+    assert f._probe_words is None and f._probe_seen == 0
+    # a single modest batch (> the 4096 small-batch cutoff, < len/2) must
+    # take the sorted-search path, not re-pay the bitmap build...
+    out = f.contains_hashes(present[:5000])
+    assert f._probe_words is None
+    assert out.all()
+    # ...while sustained probe volume converts again, with identical answers
+    f.contains_hashes(present[: n // 2])
+    assert f._probe_words is not None
+    assert f.contains_hashes(present[:5000]).all()

@@ -504,3 +504,23 @@ def test_merge_precision_triples(fp_pair):
         assert coarse.contains(i)
     with pytest.raises(IncompatibleFingerprintSize):
         fine.merge(True, coarse)
+
+
+def test_capped_overflow_prefix_matches_sequential():
+    """CapacityExceeded with a finite max_count must leave the SAME state a
+    sequential insert_fingerprint_counting loop reaches: the longest-prefix
+    cut makes position matter, so the admit mask is recomputed with a stable
+    sort on that path (unstable may admit a later duplicate over an earlier
+    one — round-5 code-review regression)."""
+    rng = np.random.default_rng(5)
+    vals = (rng.integers(0, 1 << 40, size=50_000, dtype=np.uint64)
+            % np.uint64(997))                       # duplicate-heavy stream
+    f_bulk = Filter.new(512, 0.01)
+    f_seq = Filter.new(512, 0.01)
+    with pytest.raises(CapacityExceeded):
+        f_bulk.insert_hashes(vals, max_count=3, auto_grow=False)
+    with pytest.raises(CapacityExceeded):
+        for h in map(int, vals):
+            f_seq.insert_fingerprint_counting(3, h)
+    assert len(f_bulk) == len(f_seq) == f_seq.capacity()
+    assert f_bulk.fingerprints().tolist() == f_seq.fingerprints().tolist()
