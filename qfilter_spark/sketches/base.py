@@ -74,7 +74,7 @@ def loads(blob):
     Decoders back their numpy state directly onto the buffer (read-only).
     """
     mv = memoryview(blob)
-    if bytes(mv[:3]) != _MAGIC:
+    if len(mv) < 4 or bytes(mv[:3]) != _MAGIC:
         raise ValueError("not a qfilter_spark sketch blob")
     kind = mv[3]
     if kind not in _REGISTRY:

@@ -87,9 +87,17 @@ class BloomFilter:
 
     @classmethod
     def _decode(cls, payload: bytes) -> "BloomFilter":
+        if len(payload) < _HDR.size:
+            raise ValueError("corrupt Bloom blob: truncated header")
         m, k, n = _HDR.unpack_from(payload, 0)
-        words = np.frombuffer(payload, dtype=np.uint64, offset=_HDR.size).copy()
-        return cls(m, k, words, n)
+        if m == 0 or m % 64 != 0 or k == 0:
+            raise ValueError(f"corrupt Bloom blob: bad geometry m={m} k={k}")
+        if len(payload) - _HDR.size != 8 * (m // 64):
+            raise ValueError(
+                f"corrupt Bloom blob: payload length "
+                f"{len(payload) - _HDR.size} != m_bits/8 ({m // 8}) word bytes")
+        words = np.frombuffer(payload, dtype=np.uint64, offset=_HDR.size)
+        return cls(m, k, words.copy(), n)
 
 
 register(KIND_BLOOM)(BloomFilter._decode)

@@ -74,7 +74,13 @@ class CountMinSketch:
 
     @classmethod
     def _decode(cls, payload: bytes) -> "CountMinSketch":
+        if len(payload) < _HDR.size:
+            raise ValueError("corrupt CMS blob: truncated header")
         d, w, n = _HDR.unpack_from(payload, 0)
+        if d == 0 or w == 0 or len(payload) - _HDR.size != 8 * d * w:
+            raise ValueError(
+                f"corrupt CMS blob: payload length {len(payload) - _HDR.size}"
+                f" != 8*depth*width for d={d} w={w}")
         table = np.frombuffer(payload, dtype=np.int64, offset=_HDR.size).reshape(d, w).copy()
         return cls(d, w, table, n)
 

@@ -98,9 +98,17 @@ class HllSketch:
 
     @classmethod
     def _decode(cls, payload: bytes) -> "HllSketch":
+        if len(payload) < _HDR.size:
+            raise ValueError("corrupt HLL blob: truncated header")
         (p,) = _HDR.unpack_from(payload, 0)
-        regs = np.frombuffer(payload, dtype=np.uint8, offset=_HDR.size).copy()
-        return cls(p, regs)
+        if not 4 <= p <= 18:
+            raise ValueError(f"corrupt HLL blob: precision {p} out of range")
+        regs = np.frombuffer(payload, dtype=np.uint8, offset=_HDR.size)
+        if regs.size != 1 << p:
+            raise ValueError(
+                f"corrupt HLL blob: payload length {regs.size} != "
+                f"2^p registers ({1 << p})")
+        return cls(p, regs.copy())
 
 
 register(KIND_HLL)(HllSketch._decode)

@@ -131,7 +131,14 @@ class KllSketch:
 
     @classmethod
     def _decode(cls, payload: bytes) -> "KllSketch":
+        if len(payload) < _HDR.size + 8:
+            raise ValueError("corrupt KLL blob: truncated header")
         k, n, h = _HDR.unpack_from(payload, 0)
+        if h == 0:
+            # a sketch with no level arrays can't accept updates
+            # (update_values appends into levels[0]); to_bytes always
+            # writes >= 1 level, so this is corruption, not emptiness
+            raise ValueError("corrupt KLL blob: zero levels")
         off = _HDR.size
         (flags,) = struct.unpack_from("<Q", payload, off)
         off += 8
@@ -147,6 +154,10 @@ class KllSketch:
             levels.append(np.frombuffer(payload, dtype=np.float64, offset=off,
                                         count=int(s)).copy())
             off += 8 * int(s)
+        if off != len(payload):
+            raise ValueError(
+                f"corrupt KLL blob: payload length {len(payload)} != "
+                f"consumed {off} (trailing bytes)")
         return cls(k, levels, n, flags)
 
 

@@ -139,7 +139,15 @@ class TDigest:
 
     @classmethod
     def _decode(cls, payload: bytes) -> "TDigest":
+        if len(payload) < _HDR.size:
+            raise ValueError("corrupt t-digest blob: truncated header")
         comp, n, k = _HDR.unpack_from(payload, 0)
+        if not np.isfinite(comp) or comp <= 0.0:
+            raise ValueError(f"corrupt t-digest blob: compression {comp}")
+        if len(payload) - _HDR.size != 16 * k:
+            raise ValueError(
+                f"corrupt t-digest blob: payload length "
+                f"{len(payload) - _HDR.size} != 16*{k} centroid bytes")
         off = _HDR.size
         means = np.frombuffer(payload, dtype=np.float64, offset=off, count=k).copy()
         off += 8 * k

@@ -107,7 +107,15 @@ class TopKSketch:
 
     @classmethod
     def _decode(cls, payload: bytes) -> "TopKSketch":
+        if len(payload) < _HDR.size:
+            raise ValueError("corrupt top-k blob: truncated header")
         k, n, err, m = _HDR.unpack_from(payload, 0)
+        if k == 0:
+            raise ValueError("corrupt top-k blob: zero capacity")
+        if len(payload) - _HDR.size != 16 * m:
+            raise ValueError(
+                f"corrupt top-k blob: payload length "
+                f"{len(payload) - _HDR.size} != 16*{m} entry bytes")
         off = _HDR.size
         keys = np.frombuffer(payload, dtype=np.uint64, offset=off, count=m).copy()
         off += 8 * m

@@ -466,3 +466,66 @@ def test_bulk_capacity_exceeded_parity(ref):
             break
     assert len(ours) == len(theirs) == ours.capacity()
     assert_same_state(ours, theirs)
+
+
+# ---------------------------------------------------------------------------
+# Config-parametrized mixed-op fuzz. test_mixed_ops_differential drives the
+# full op mix at one canonical geometry; these re-run the same differential
+# loop where the layouts diverge most — narrow/wide explicit fingerprint
+# widths (remainder extraction and counting-run encoding change shape) and a
+# resizeable filter that keeps growing WHILE the mix includes removes and
+# capped counting inserts (growth relocates runs; the reference grows per-op).
+# ---------------------------------------------------------------------------
+
+def _mixed_ops_loop(ours, theirs, seed, steps, universe_n):
+    rng = np.random.default_rng(seed)
+    universe = rng.integers(0, U64, size=universe_n, dtype=np.uint64)
+    for step in range(steps):
+        h = int(universe[rng.integers(0, len(universe))])
+        op = rng.integers(0, 6)
+        if op in (0, 1):
+            dup = bool(op)
+            try:
+                mine = ("ok", ours.insert_fingerprint(dup, h))
+            except CapacityExceeded:
+                mine = ("err", "CapacityExceeded")
+            assert mine == theirs.insert_fingerprint(dup, h), step
+        elif op == 2:
+            cap = int(rng.integers(1, 5))
+            try:
+                mine = ("ok", ours.insert_fingerprint_counting(cap, h))
+            except CapacityExceeded:
+                mine = ("err", "CapacityExceeded")
+            assert mine == theirs.insert_fingerprint_counting(cap, h), step
+        elif op == 3:
+            assert ours.contains_fingerprint(h) == \
+                theirs.contains_fingerprint(h), step
+        elif op == 4:
+            assert ours.count_fingerprint(h) == \
+                theirs.count_fingerprint(h), step
+        else:
+            assert ours.remove_fingerprint(h) == \
+                theirs.remove_fingerprint(h), step
+        if step % 500 == 0:
+            assert_same_state(ours, theirs)
+    assert_same_state(ours, theirs)
+
+
+@pytest.mark.parametrize("bits,seed", [(9, 83), (16, 89), (31, 97), (64, 101)])
+def test_mixed_ops_explicit_widths(ref, bits, seed):
+    cap = 200 if bits == 9 else 256   # width 9 only fits qbits <= 8
+    ours = Filter.with_fingerprint_size(cap, bits)
+    theirs = RefFilter.with_fingerprint_size(ref, cap, bits)
+    _mixed_ops_loop(ours, theirs, seed, steps=2000, universe_n=160)
+
+
+@pytest.mark.parametrize("seed", [103, 107])
+def test_mixed_ops_resizeable_growth(ref, seed):
+    """The full op mix over a filter that starts at 64 slots and must keep
+    doubling mid-sequence (universe >> initial capacity)."""
+    ours = Filter.new_resizeable(64, 4096, 0.01)
+    theirs = RefFilter.new_resizeable(ref, 64, 4096, 0.01)
+    start_cap = ours.capacity()
+    _mixed_ops_loop(ours, theirs, seed, steps=2500, universe_n=1200)
+    assert ours.capacity() >= 4 * start_cap      # really grew repeatedly
+    assert ours.capacity() == theirs.capacity()
