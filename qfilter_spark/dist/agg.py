@@ -32,6 +32,7 @@ import numpy as np
 
 from .. import sketches
 from ..functions.ngrams import flat_from_arrow, ngram_hashes
+from ..hashing import u64_hashes_from_pandas
 
 PARTIAL_SCHEMA = "shard_id long, n_items long, build_secs double, payload binary"
 
@@ -62,6 +63,13 @@ class SketchSpec:
         """Arrow RecordBatch -> update array (uint64 hashes or float64)."""
         arr = batch.column(self.col)
         if self.mode == "hash_col":
+            if arr.null_count:
+                # to_numpy would launder NULLs through float NaN into one
+                # garbage fingerprint; the probe side already refuses NULLs
+                # (dist.probe.probe_hashes) — the build side must match
+                raise ValueError(
+                    f"sketch build: {arr.null_count} NULL values in "
+                    f"{self.col!r}; filter them out before building")
             return arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         if self.mode == "tokens_ngram":
             flat, offsets = flat_from_arrow(arr)
@@ -208,17 +216,22 @@ def build_grouped_sketches(df, group_col: str, spec: SketchSpec,
         sk = spec.make()
         n = 0
         if spec.mode == "values":
+            # NULL -> NaN here is correct: the quantile sketches filter NaN,
+            # matching SQL aggregates' ignore-nulls semantics
             data = pdf[spec.col].to_numpy(dtype=np.float64)
             sk.update_values(data)
             n = data.size
         elif spec.mode == "hash_col":
-            data = pdf[spec.col].to_numpy(dtype=np.int64).view(np.uint64)
+            data = u64_hashes_from_pandas(pdf[spec.col], "grouped sketch build")
             sk.update_hashes(data)
             n = data.size
         else:
-            lengths = pdf[spec.col].map(len).to_numpy(dtype=np.int64)
-            flat = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf[spec.col]]) \
-                if len(pdf) else np.empty(0, dtype=np.int64)
+            # a NULL tokens row is an empty document (the Arrow path's
+            # flat_from_arrow gives null list slots zero extent)
+            toks = [np.empty(0, dtype=np.int64) if t is None
+                    else np.asarray(t, dtype=np.int64) for t in pdf[spec.col]]
+            lengths = np.array([t.size for t in toks], dtype=np.int64)
+            flat = np.concatenate(toks) if toks else np.empty(0, dtype=np.int64)
             offsets = np.concatenate([[0], np.cumsum(lengths)])
             data = ngram_hashes(flat, offsets, spec.ngram_n)
             sk.update_hashes(data)

@@ -87,6 +87,19 @@ def _local_mask(fs: int, k: int) -> np.uint64:
     return np.uint64((1 << (fs - k)) - 1)
 
 
+def _u64_from_arrow(col, context: str) -> np.ndarray:
+    """An int64 Arrow column as uint64 hashes, refusing NULLs.
+
+    A NULL hash routes to a NULL shard upstream (_route_by_shard's JVM
+    expressions propagate NULL) and would launder through float NaN into
+    one garbage fingerprint here — mirror dist.probe's refusal instead."""
+    if col.null_count:
+        raise ValueError(
+            f"{context}: {col.null_count} NULL values in the hash column; "
+            "filter them out first")
+    return col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+
+
 def _fp_meta(spec: SketchSpec) -> tuple[int, int, int]:
     """(qbits, rbits, fingerprint_size) of the spec's filter params."""
     f = spec.make().filter
@@ -176,12 +189,14 @@ def probe_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
             return pa.table({"shard": pa.array([], pa.int32()),
                              "n_probed": pa.array([], pa.int64()),
                              "n_contained": pa.array([], pa.int64())})
+        # extract BEFORE the empty-shard shortcut: a NULL probe hash routes
+        # to the NULL shard, whose filter side is always empty — skipping
+        # extraction there would silently count NULLs as clean misses
+        h = _u64_from_arrow(probes_tbl.column("h"), "probe_sharded")
         if filt_tbl.num_rows == 0:
             hit = 0
         else:
             sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
-            h = probes_tbl.column("h").to_numpy(zero_copy_only=False) \
-                .astype(np.int64).view(np.uint64)
             hit = int(sk.contains_hashes(h & _local_mask(fs, k)).sum())
         return pa.table({"shard": pa.array([key[0].as_py()], pa.int32()),
                          "n_probed": pa.array([n], pa.int64()),
@@ -368,14 +383,17 @@ def remove_sharded(filter_df, removals_df, hash_col: str, n_shards: int,
     removals = _route_by_shard(removals_df, hash_col, fs, k)
 
     def apply_removals(key, rem_tbl: "pa.Table", filt_tbl: "pa.Table") -> "pa.Table":
+        # extract BEFORE the empty-shard shortcut (NULL removal hashes land
+        # on the NULL shard, which never has a filter chunk — they must be
+        # refused, not silently dropped)
+        h = (_u64_from_arrow(rem_tbl.column("h"), "remove_sharded")
+             if rem_tbl.num_rows else None)
         if filt_tbl.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.int32()),
                              "n_fps": pa.array([], pa.int64()),
                              "payload": pa.array([], pa.binary())})
         sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
-        if rem_tbl.num_rows:
-            h = rem_tbl.column("h").to_numpy(zero_copy_only=False) \
-                .astype(np.int64).view(np.uint64)
+        if h is not None:
             sk.filter.remove_hashes(h & _local_mask(fs, k))
         blob = sketches.RsqfSketch(
             Filter(sk.filter.qbits, sk.filter.rbits, None,

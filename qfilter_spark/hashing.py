@@ -329,3 +329,20 @@ def hash_obj(item, seed: int = SPARK_SEED) -> int:
             acc = hash_obj(part, acc)  # each hash seeds the next lane
         return acc
     raise TypeError(f"unhashable item type for stable hashing: {type(item)}")
+
+
+def u64_hashes_from_pandas(ser, context: str) -> "np.ndarray":
+    """An int64 pandas Series as a uint64 hash array, refusing NULLs.
+
+    pandas casts NaN (a NULL hash) to INT64_MIN with only a RuntimeWarning,
+    silently laundering every missing value into the same garbage
+    fingerprint. The probe side refuses NULLs (dist.probe.probe_hashes);
+    the build/stream sides must refuse symmetrically or a NULL-polluted
+    build would later make the probe's refusal look like the bug.
+    """
+    na = ser.isna()
+    if na.any():
+        raise ValueError(
+            f"{context}: {int(na.sum())} NULL values in hash column "
+            f"{ser.name!r}; filter them out before building")
+    return ser.to_numpy(dtype=np.int64).view(np.uint64)

@@ -32,6 +32,7 @@ import numpy as np
 
 from . import sketches
 from .dist.agg import SketchSpec, partial_sketches
+from .hashing import u64_hashes_from_pandas
 
 
 def apply_changelog(sk, h: np.ndarray, is_ins: np.ndarray,
@@ -116,7 +117,7 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
             sk, n_items = spec.make(), 0
         hs, ops, seqs = [], [], []
         for pdf in pdf_iter:
-            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            h = u64_hashes_from_pandas(pdf[hash_col], "keyed sketch stream")
             if h.size == 0:
                 continue
             if op_col is None:
@@ -194,7 +195,7 @@ def windowed_sketch_stream(stream_df, spec: SketchSpec, ts_col: str,
         else:
             sk, n_items = spec.make(), 0
         for pdf in pdf_iter:
-            h = pdf[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+            h = u64_hashes_from_pandas(pdf[hash_col], "windowed sketch stream")
             sk.update_hashes(h)
             n_items += int(h.size)
         state.update((sk.to_bytes(), n_items))

@@ -388,3 +388,71 @@ def test_sketch_cache_bounded_by_bytes(monkeypatch):
     monkeypatch.setattr(probe_mod, "_SKETCH_CACHE_MAX_BYTES", 1)
     probe_mod._load_cached(b1)
     assert list(e[0] for e in probe_mod._SKETCH_CACHE.values()) == [b1]
+
+
+def test_build_null_hashes_refused(spark):
+    """The BUILD side must refuse NULL hashes like the probe side does:
+    pandas/Arrow silently cast NaN (a NULL) to INT64_MIN, so without the
+    check every missing value becomes the same garbage fingerprint — and a
+    later probe of the same frame raises while the corrupted build passed."""
+    from qfilter_spark.dist import SketchSpec, build_sketch
+    from qfilter_spark.dist.agg import build_grouped_sketches
+
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (3, "a")], "h long, g string")
+    spec = SketchSpec("rsqf", dict(capacity=64, fp_rate=0.01), "hash_col", "h")
+    with pytest.raises(Exception) as ei:
+        build_sketch(df.repartition(2), spec)
+    assert "NULL values" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        build_grouped_sketches(df, "g", spec, n_salts=2).collect()
+    assert "NULL values" in str(ei.value)
+
+
+def test_sharded_probe_and_remove_null_hashes_refused(spark):
+    """NULL probe/removal hashes route to a NULL shard and reach the group
+    kernels; they must be refused there, not laundered (same contract as
+    probe_hashes)."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.dist import SketchSpec
+    from qfilter_spark.dist.sharded import (
+        build_sharded_filter, probe_sharded, remove_sharded)
+
+    spec = SketchSpec("rsqf", dict(capacity=4096, fp_rate=0.01), "hash_col", "h")
+    src = spark.range(500).select(F.xxhash64("id").alias("h"))
+    fdf = build_sharded_filter(src, spec, n_shards=4)
+    fdf.cache().count()
+    bad = spark.createDataFrame([(1,), (None,)], "h long")
+    with pytest.raises(Exception) as ei:
+        probe_sharded(bad, "h", fdf, 4, spec).collect()
+    assert "NULL values" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        remove_sharded(fdf, bad, "h", 4, spec).collect()
+    assert "NULL values" in str(ei.value)
+    fdf.unpersist()
+
+
+def test_grouped_build_null_tokens_row_is_empty_doc(spark, corpus_df):
+    """A NULL tokens array in the grouped (pandas) build counts as an empty
+    document — the same zero-extent semantics the Arrow path's
+    flat_from_arrow gives null list slots — instead of raising len(None)."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.dist import SketchSpec
+    from qfilter_spark.dist.agg import build_grouped_sketches
+    from qfilter_spark import sketches
+
+    df = corpus_df.limit(40).withColumn(
+        "tokens", F.when(F.col("n_tok") % 2 == 0, F.col("tokens")))
+    assert df.where("tokens IS NULL").count() > 0
+    spec = SketchSpec("hll", dict(p=12), "tokens_ngram", "tokens", ngram_n=3)
+    rows = build_grouped_sketches(df, "source", spec, n_salts=2).collect()
+    # every sketch decodes and the NULL rows contributed nothing
+    with_nulls = {r["source"]: sketches.loads(bytes(r["payload"])).estimate()
+                  for r in rows}
+    dropped = df.where("tokens IS NOT NULL")
+    rows2 = build_grouped_sketches(dropped, "source", spec, n_salts=2).collect()
+    without = {r["source"]: sketches.loads(bytes(r["payload"])).estimate()
+               for r in rows2}
+    for src_name, est in without.items():
+        assert with_nulls[src_name] == pytest.approx(est)
