@@ -14,10 +14,37 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 LSH_SEED = 20240601
+
+
+def lsh_params_for(n_vectors: int, threshold: float = 0.95,
+                   target_bucket_rows: int = 1024,
+                   min_recall: float = 0.9999) -> tuple[int, int]:
+    """(n_tables, n_bits) sized to the corpus for near-pair blocking.
+
+    With b random hyperplanes per table, two vectors at cosine ``threshold``
+    share a bucket with probability p^b, p = 1 - acos(threshold)/pi
+    (Charikar 2002), so T tables give recall 1-(1-p^b)^T. b is chosen to
+    keep the EXPECTED bucket at ~``target_bucket_rows`` rows (the bucket
+    self-join is quadratic per bucket: fixed b makes candidate volume grow
+    as n^2/2^b — the 4-bit default that is fine at 10^4 vectors is a
+    cartesian blow-up at 10^9), then T is the smallest table count whose
+    analytic recall at the threshold clears ``min_recall``. Everything is
+    deterministic in (n_vectors, threshold).
+    """
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    n_bits = max(4, math.ceil(math.log2(max(n_vectors, 2) / target_bucket_rows)))
+    per_table = p ** n_bits
+    if per_table >= 1.0:        # threshold == 1.0: exact dups always collide
+        return 1, n_bits
+    n_tables = max(1, math.ceil(math.log(1.0 - min_recall)
+                                / math.log(1.0 - per_table)))
+    return n_tables, n_bits
 
 
 def _emb_matrix(batch, col: str) -> np.ndarray:
@@ -28,6 +55,15 @@ def _emb_matrix(batch, col: str) -> np.ndarray:
     start = offsets[0]
     flat = arr.values.to_numpy().astype(np.float64)[start:offsets[-1]]
     dim = int(offsets[1] - offsets[0]) if len(arr) else 0
+    lengths = np.diff(offsets)
+    if lengths.size and not (lengths == dim).all():
+        # a NULL row (zero extent) or ragged dimension would shift the flat
+        # buffer: if totals happened to still divide evenly, reshape would
+        # silently mis-slice every later row into garbage scores
+        bad = int(np.flatnonzero(lengths != dim)[0])
+        raise ValueError(
+            f"embedding column {col!r}: row {bad} has {int(lengths[bad])} "
+            f"values, expected dim {dim} (NULL or ragged embeddings)")
     return flat.reshape(len(arr), dim)
 
 
@@ -114,17 +150,30 @@ def lsh_signatures(emb_df: DataFrame, n_tables: int = 16, n_bits: int = 4,
 
 
 def cosine_near_pairs(emb_df: DataFrame, threshold: float = 0.95,
-                      n_tables: int = 16, n_bits: int = 4, dim: int = 64,
-                      id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                      n_tables: int | None = None, n_bits: int | None = None,
+                      dim: int = 64, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> DataFrame:
     """Embedding near-duplicate pairs: LSH blocking + exact cosine verify.
 
-    Candidates = pairs sharing any hyperplane-LSH bucket (recall for true
-    near-dups at cos >= 0.95 is ~1-1e-7 with 16 tables x 4 bits); each
-    candidate is verified with an exact float64 cosine, so the output equals
-    the exact all-pairs answer. Fully distributed: the only shuffles are the
-    bucket self-join and the embedding fetch joins.
+    Candidates = pairs sharing any hyperplane-LSH bucket; each candidate is
+    verified with an exact float64 cosine, so false candidates never reach
+    the output. By default the blocking geometry is sized to the corpus by
+    :func:`lsh_params_for` — per-table buckets stay ~1k rows at ANY corpus
+    size, so the bucket self-join's candidate volume is ~n * bucket_rows
+    instead of the n^2/2^n_bits a fixed small n_bits degrades to at scale,
+    and the table count keeps analytic recall at the threshold >= 0.9999
+    (exact duplicates collide in every table regardless). Pass explicit
+    n_tables/n_bits to pin a geometry; the auto path pays one count() of
+    the id column. Fully distributed: the only shuffles are the bucket
+    self-join and the embedding fetch joins.
     """
     import pyarrow as pa
+
+    if n_tables is None or n_bits is None:
+        auto_t, auto_b = lsh_params_for(
+            emb_df.select(id_col).count(), threshold)
+        n_tables = auto_t if n_tables is None else n_tables
+        n_bits = auto_b if n_bits is None else n_bits
 
     sigs = lsh_signatures(emb_df, n_tables, n_bits, dim, id_col, emb_col)
     a, b = sigs.alias("a"), sigs.alias("b")

@@ -33,3 +33,48 @@ def test_planted_near_dups_found_exactly(spark):
            for r in ann.cosine_near_pairs(df, threshold=0.95, dim=32).collect()}
     assert got == want
     df.unpersist()
+
+
+def test_null_or_ragged_embeddings_refused(spark):
+    """A NULL or wrong-dimension embedding row must fail loudly: the Arrow
+    list column is flattened and reshaped by row-0's dimension, so a
+    zero-extent (NULL) or ragged row would otherwise shift the flat buffer
+    and silently mis-slice every later row into garbage scores whenever the
+    totals still divide evenly."""
+    import pytest
+
+    from qfilter_spark.functions.ann import cosine_topk
+
+    q = [(0, [1.0, 0.0, 0.0, 0.0])]
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]),
+         (3, [0.0, 1.0, 0.0, 0.0, 0.0])],   # 4+3+5 = 12 still divides by 4
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception) as ei:
+        cosine_topk(ragged, q, k=2).collect()
+    assert "ragged" in str(ei.value) or "expected dim" in str(ei.value)
+
+    with_null = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    with pytest.raises(Exception) as ei:
+        cosine_topk(with_null, q, k=2).collect()
+    assert "expected dim" in str(ei.value)
+
+
+def test_lsh_params_for_scales_with_corpus():
+    """Auto blocking geometry: bucket width grows with the corpus (bounded
+    expected bucket rows), table count keeps the analytic recall bound, and
+    small corpora reproduce the historical 4-bit geometry."""
+    t_small, b_small = ann.lsh_params_for(2_000, 0.95)
+    assert b_small == 4                       # the historical gate geometry
+    t_big, b_big = ann.lsh_params_for(1_000_000_000, 0.95)
+    assert b_big == 20                        # ~1e9/2^20 ~ 1k rows/bucket
+    assert t_big > t_small                    # more bits need more tables
+    # analytic recall >= 0.9999 at the threshold for both geometries
+    import math
+    p = 1.0 - math.acos(0.95) / math.pi
+    for t, b in [(t_small, b_small), (t_big, b_big)]:
+        assert 1.0 - (1.0 - p ** b) ** t >= 0.9999
+    # exact duplicates collide in every table: threshold 1.0 needs 1 table
+    assert ann.lsh_params_for(10**9, 1.0)[0] == 1
