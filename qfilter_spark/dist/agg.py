@@ -32,7 +32,7 @@ import numpy as np
 
 from .. import sketches
 from ..functions.ngrams import flat_from_arrow, ngram_hashes
-from ..hashing import u64_hashes_from_pandas
+from ..hashing import u64_hashes_from_arrow, u64_hashes_from_pandas
 
 PARTIAL_SCHEMA = "shard_id long, n_items long, build_secs double, payload binary"
 
@@ -63,14 +63,7 @@ class SketchSpec:
         """Arrow RecordBatch -> update array (uint64 hashes or float64)."""
         arr = batch.column(self.col)
         if self.mode == "hash_col":
-            if arr.null_count:
-                # to_numpy would launder NULLs through float NaN into one
-                # garbage fingerprint; the probe side already refuses NULLs
-                # (dist.probe.probe_hashes) — the build side must match
-                raise ValueError(
-                    f"sketch build: {arr.null_count} NULL values in "
-                    f"{self.col!r}; filter them out before building")
-            return arr.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+            return u64_hashes_from_arrow(arr, f"sketch build ({self.col!r})")
         if self.mode == "tokens_ngram":
             flat, offsets = flat_from_arrow(arr)
             return ngram_hashes(flat, offsets, self.ngram_n)

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..hashing import u64_hashes_from_arrow
+
 #: per-worker sketch cache: PySpark reuses python worker processes across
 #: tasks, and a broadcast's .value object is stable per process — caching the
 #: decoded sketch by its identity makes decode + probe-index build once per
@@ -100,15 +102,8 @@ def probe_hashes(df, blob: bytes, hash_col: str, out_col: str = "est_count",
     def run(batches):
         sk = _load_cached(b.value)
         for batch in batches:
-            col_in = batch.column(hash_col)
-            if col_in.null_count:
-                # to_numpy would silently launder NULLs through float NaN
-                # into garbage probe values — refuse instead
-                raise ValueError(
-                    f"probe_hashes: {col_in.null_count} NULL values in "
-                    f"{hash_col!r}; filter them out before probing")
-            h = col_in.to_numpy(zero_copy_only=False) \
-                .astype(np.int64).view(np.uint64)
+            h = u64_hashes_from_arrow(batch.column(hash_col),
+                                      f"probe_hashes ({hash_col!r})")
             if as_bool:
                 if hasattr(sk, "contains_hashes"):
                     vals = sk.contains_hashes(h)

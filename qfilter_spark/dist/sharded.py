@@ -27,6 +27,7 @@ import time
 import numpy as np
 
 from .. import sketches
+from ..hashing import u64_hashes_from_arrow
 from ..rsqf import Filter
 from .agg import SketchSpec
 
@@ -87,17 +88,10 @@ def _local_mask(fs: int, k: int) -> np.uint64:
     return np.uint64((1 << (fs - k)) - 1)
 
 
-def _u64_from_arrow(col, context: str) -> np.ndarray:
-    """An int64 Arrow column as uint64 hashes, refusing NULLs.
-
-    A NULL hash routes to a NULL shard upstream (_route_by_shard's JVM
-    expressions propagate NULL) and would launder through float NaN into
-    one garbage fingerprint here — mirror dist.probe's refusal instead."""
-    if col.null_count:
-        raise ValueError(
-            f"{context}: {col.null_count} NULL values in the hash column; "
-            "filter them out first")
-    return col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+# a NULL hash routes to a NULL shard (_route_by_shard's JVM expressions
+# propagate NULL) and reaches the group kernels, which refuse it via the
+# shared helper instead of laundering it through float NaN
+_u64_from_arrow = u64_hashes_from_arrow
 
 
 def _fp_meta(spec: SketchSpec) -> tuple[int, int, int]:
@@ -232,14 +226,15 @@ def count_sharded(probe_df, hash_col: str, filter_df, n_shards: int,
         if n == 0:
             return pa.table({"h": pa.array([], pa.int64()),
                              "est": pa.array([], pa.int64())})
-        h_raw = probes_tbl.column("h").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
+        # NULL refusal before the empty-shard shortcut, like probe/remove
+        h_u64 = _u64_from_arrow(probes_tbl.column("h"), "count_sharded")
+        h_raw = h_u64.view(np.int64)
         if filt_tbl.num_rows == 0:
             est = np.zeros(n, dtype=np.int64)
         else:
             sk = sketches.loads(filt_tbl.column("payload")[0].as_py())
             est = np.asarray(
-                sk.count_hashes(h_raw.view(np.uint64) & _local_mask(fs, k)),
+                sk.count_hashes(h_u64 & _local_mask(fs, k)),
                 dtype=np.int64)
         return pa.table({"h": pa.array(h_raw, pa.int64()),
                          "est": pa.array(est, pa.int64())})

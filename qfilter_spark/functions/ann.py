@@ -24,7 +24,9 @@ LSH_SEED = 20240601
 
 def lsh_params_for(n_vectors: int, threshold: float = 0.95,
                    target_bucket_rows: int = 1024,
-                   min_recall: float = 0.9999) -> tuple[int, int]:
+                   min_recall: float = 0.9999,
+                   n_tables: int | None = None, n_bits: int | None = None,
+                   max_tables: int = 256) -> tuple[int, int]:
     """(n_tables, n_bits) sized to the corpus for near-pair blocking.
 
     With b random hyperplanes per table, two vectors at cosine ``threshold``
@@ -36,14 +38,46 @@ def lsh_params_for(n_vectors: int, threshold: float = 0.95,
     cartesian blow-up at 10^9), then T is the smallest table count whose
     analytic recall at the threshold clears ``min_recall``. Everything is
     deterministic in (n_vectors, threshold).
+
+    Pinning ONE parameter conditions the other on it (the pair is jointly
+    sized — substituting one side of an auto pair silently breaks the
+    recall bound): a pinned ``n_tables`` lowers ``n_bits`` to the widest
+    bucket width whose recall with those tables still clears
+    ``min_recall`` (never below 4 bits, never above the bucket-target
+    width); a pinned ``n_bits`` just derives the table count for it.
+
+    ``max_tables`` bounds the auto table count: below ~0.85 thresholds the
+    required table count explodes (898 tables at threshold 0.8 over 1e9
+    vectors — hyperplane LSH is the wrong blocking tool there), and the
+    sized-to-avoid-a-blow-up path must not create a different blow-up.
+    A ValueError names the computed geometry and the escape hatches.
     """
     p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    n_bits = max(4, math.ceil(math.log2(max(n_vectors, 2) / target_bucket_rows)))
-    per_table = p ** n_bits
-    if per_table >= 1.0:        # threshold == 1.0: exact dups always collide
-        return 1, n_bits
-    n_tables = max(1, math.ceil(math.log(1.0 - min_recall)
-                                / math.log(1.0 - per_table)))
+    bucket_bits = max(4, math.ceil(
+        math.log2(max(n_vectors, 2) / target_bucket_rows)))
+    if n_bits is None:
+        if n_tables is not None and 0.0 < p < 1.0:
+            # widest b with 1-(1-p^b)^T >= min_recall for the pinned T
+            per_min = 1.0 - (1.0 - min_recall) ** (1.0 / n_tables)
+            b_max = int(math.log(per_min) / math.log(p)) if per_min > 0 else bucket_bits
+            n_bits = max(4, min(bucket_bits, b_max))
+        else:
+            n_bits = bucket_bits
+    if n_tables is None:
+        per_table = p ** n_bits
+        if per_table >= 1.0:    # threshold == 1.0: exact dups always collide
+            n_tables = 1
+        else:
+            n_tables = max(1, math.ceil(math.log(1.0 - min_recall)
+                                        / math.log(1.0 - per_table)))
+            if n_tables > max_tables:
+                raise ValueError(
+                    f"lsh_params_for: {n_tables} tables needed for recall "
+                    f">= {min_recall} at threshold {threshold} with "
+                    f"{n_bits}-bit buckets — hyperplane LSH blocking is "
+                    "impractical at this threshold/scale; raise the "
+                    "threshold or target_bucket_rows, or pin "
+                    "n_tables/n_bits explicitly")
     return n_tables, n_bits
 
 
@@ -54,9 +88,18 @@ def _emb_matrix(batch, col: str) -> np.ndarray:
     offsets = arr.offsets.to_numpy().astype(np.int64)
     start = offsets[0]
     flat = arr.values.to_numpy().astype(np.float64)[start:offsets[-1]]
-    dim = int(offsets[1] - offsets[0]) if len(arr) else 0
     lengths = np.diff(offsets)
-    if lengths.size and not (lengths == dim).all():
+    if not len(arr):
+        return flat.reshape(0, 0)
+    # dim from the first NON-EMPTY row: deriving it from row 0 would let an
+    # all-NULL batch pass as dim 0, and blame the first real row when row 0
+    # itself is the NULL one
+    nonzero = np.flatnonzero(lengths)
+    if nonzero.size == 0:
+        raise ValueError(
+            f"embedding column {col!r}: all {len(arr)} rows are NULL/empty")
+    dim = int(lengths[nonzero[0]])
+    if not (lengths == dim).all():
         # a NULL row (zero extent) or ragged dimension would shift the flat
         # buffer: if totals happened to still divide evenly, reshape would
         # silently mis-slice every later row into garbage scores
@@ -170,10 +213,10 @@ def cosine_near_pairs(emb_df: DataFrame, threshold: float = 0.95,
     import pyarrow as pa
 
     if n_tables is None or n_bits is None:
-        auto_t, auto_b = lsh_params_for(
-            emb_df.select(id_col).count(), threshold)
-        n_tables = auto_t if n_tables is None else n_tables
-        n_bits = auto_b if n_bits is None else n_bits
+        # a pinned parameter conditions the derived one (see lsh_params_for)
+        n_tables, n_bits = lsh_params_for(
+            emb_df.select(id_col).count(), threshold,
+            n_tables=n_tables, n_bits=n_bits)
 
     sigs = lsh_signatures(emb_df, n_tables, n_bits, dim, id_col, emb_col)
     a, b = sigs.alias("a"), sigs.alias("b")

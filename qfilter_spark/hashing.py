@@ -331,6 +331,21 @@ def hash_obj(item, seed: int = SPARK_SEED) -> int:
     raise TypeError(f"unhashable item type for stable hashing: {type(item)}")
 
 
+def u64_hashes_from_arrow(col, context: str) -> "np.ndarray":
+    """An int64 Arrow column as uint64 hashes, refusing NULLs.
+
+    Arrow's to_numpy casts NULL through float NaN to INT64_MIN with only a
+    RuntimeWarning — the same laundering as the pandas variant below; the
+    ONE shared helper keeps the refusal contract identical on the build,
+    probe, count, and remove paths.
+    """
+    if col.null_count:
+        raise ValueError(
+            f"{context}: {col.null_count} NULL values in the hash column; "
+            "filter them out first")
+    return col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+
+
 def u64_hashes_from_pandas(ser, context: str) -> "np.ndarray":
     """An int64 pandas Series as a uint64 hash array, refusing NULLs.
 

@@ -120,6 +120,11 @@ class TopKSketch:
         keys = np.frombuffer(payload, dtype=np.uint64, offset=off, count=m).copy()
         off += 8 * m
         counts = np.frombuffer(payload, dtype=np.int64, offset=off, count=m).copy()
+        # estimate_hashes searchsorted-s keys: _trim always stores them
+        # sorted, so unsorted keys are corruption that would silently
+        # return 0 for tracked items
+        if keys.size > 1 and (keys[1:] < keys[:-1]).any():
+            raise ValueError("corrupt top-k blob: keys not sorted")
         return cls(k, keys, counts, n, err)
 
 

@@ -416,7 +416,7 @@ def test_sharded_probe_and_remove_null_hashes_refused(spark):
 
     from qfilter_spark.dist import SketchSpec
     from qfilter_spark.dist.sharded import (
-        build_sharded_filter, probe_sharded, remove_sharded)
+        build_sharded_filter, count_sharded, probe_sharded, remove_sharded)
 
     spec = SketchSpec("rsqf", dict(capacity=4096, fp_rate=0.01), "hash_col", "h")
     src = spark.range(500).select(F.xxhash64("id").alias("h"))
@@ -428,6 +428,9 @@ def test_sharded_probe_and_remove_null_hashes_refused(spark):
     assert "NULL values" in str(ei.value)
     with pytest.raises(Exception) as ei:
         remove_sharded(fdf, bad, "h", 4, spec).collect()
+    assert "NULL values" in str(ei.value)
+    with pytest.raises(Exception) as ei:
+        count_sharded(bad, "h", fdf, 4, spec).collect()
     assert "NULL values" in str(ei.value)
     fdf.unpersist()
 

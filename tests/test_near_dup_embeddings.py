@@ -78,3 +78,35 @@ def test_lsh_params_for_scales_with_corpus():
         assert 1.0 - (1.0 - p ** b) ** t >= 0.9999
     # exact duplicates collide in every table: threshold 1.0 needs 1 table
     assert ann.lsh_params_for(10**9, 1.0)[0] == 1
+
+
+def test_lsh_params_pinned_parameter_conditions_the_other():
+    import math
+
+    import pytest
+
+    p = 1.0 - math.acos(0.95) / math.pi
+    # pinned n_bits -> table count derived FOR that width
+    t, b = ann.lsh_params_for(10**9, 0.95, n_bits=20)
+    assert b == 20 and 1.0 - (1.0 - p ** b) ** t >= 0.9999
+    # pinned n_tables -> bucket width lowered until recall holds
+    t2, b2 = ann.lsh_params_for(10**9, 0.95, n_tables=16)
+    assert t2 == 16 and 1.0 - (1.0 - p ** b2) ** 16 >= 0.9999
+    assert b2 < 20            # 20 bits with 16 tables would read ~0.87
+    # impractical threshold/scale fails loudly instead of shuffling
+    # thousands of signature copies
+    with pytest.raises(ValueError, match="impractical"):
+        ann.lsh_params_for(10**9, 0.7)
+
+
+def test_all_null_embedding_batch_refused(spark):
+    import pytest
+
+    from qfilter_spark.functions.ann import cosine_topk
+
+    q = [(0, [1.0, 0.0, 0.0, 0.0])]
+    all_null = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception) as ei:
+        cosine_topk(all_null, q, k=1).collect()
+    assert "NULL/empty" in str(ei.value)

@@ -185,3 +185,17 @@ def test_decoded_sketches_accept_updates_and_merges():
             a.update_values(np.linspace(-5, 5, 100))
         a.merge(b)
         assert loads(a.to_bytes()).kind == kind
+
+
+def test_topk_unsorted_keys_rejected():
+    # estimate_hashes searchsorted-s keys; permuted key bytes in a
+    # geometry-intact blob would silently estimate 0 for tracked items
+    blob = bytearray(BLOBS["topk"])
+    m = TopKSketch._decode(BLOBS["topk"][4:]).keys.size
+    off = 4 + 24  # frame + <IQQ> header
+    first = struct.unpack_from("<Q", blob, off)[0]
+    last = struct.unpack_from("<Q", blob, off + 8 * (m - 1))[0]
+    struct.pack_into("<Q", blob, off, last)
+    struct.pack_into("<Q", blob, off + 8 * (m - 1), first)
+    with pytest.raises(ValueError, match="not sorted"):
+        loads(bytes(blob))
