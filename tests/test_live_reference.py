@@ -529,3 +529,35 @@ def test_mixed_ops_resizeable_growth(ref, seed):
     _mixed_ops_loop(ours, theirs, seed, steps=2500, universe_n=1200)
     assert ours.capacity() >= 4 * start_cap      # really grew repeatedly
     assert ours.capacity() == theirs.capacity()
+
+
+@pytest.mark.parametrize("bits,seed", [(16, 113), (31, 127), (64, 131)])
+def test_bulk_kernels_match_reference_at_explicit_widths(ref, bits, seed):
+    """The bulk kernels (what Spark partitions actually run) at explicit
+    fingerprint widths: insert stream -> full-state compare -> bulk probe
+    of present+absent -> bulk remove of a mixed over-ask, state-compared
+    at every step. The earlier bulk differentials all ran the default
+    new(cap, fp_rate) geometry."""
+    rng = np.random.default_rng(seed)
+    cap = 2048
+    universe = rng.integers(0, U64, size=500, dtype=np.uint64)
+    stream = universe[rng.integers(0, universe.size, size=1500)]
+    ours = Filter.with_fingerprint_size(cap, bits)
+    theirs = RefFilter.with_fingerprint_size(ref, cap, bits)
+    n_admit = ours.insert_hashes(stream, max_count=3)
+    assert n_admit == _ref_insert_stream(theirs, stream, 3)
+    assert_same_state(ours, theirs)
+
+    absent = rng.integers(0, U64, size=5000, dtype=np.uint64)
+    probes = np.concatenate([universe, absent])
+    got_contains = ours.contains_hashes(probes)
+    got_counts = ours.count_hashes(probes)
+    for i, h in enumerate(map(int, probes)):
+        assert bool(got_contains[i]) == theirs.contains_fingerprint(h), i
+        assert int(got_counts[i]) == theirs.count_fingerprint(h), i
+
+    req = np.concatenate([universe[rng.integers(0, universe.size, size=700)],
+                          rng.integers(0, U64, size=100, dtype=np.uint64)])
+    removed = ours.remove_hashes(req)
+    assert removed == sum(theirs.remove_fingerprint(int(h)) for h in req)
+    assert_same_state(ours, theirs)
