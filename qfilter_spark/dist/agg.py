@@ -32,7 +32,7 @@ import numpy as np
 
 from .. import sketches
 from ..functions.ngrams import flat_from_arrow, ngram_hashes
-from ..hashing import u64_hashes_from_arrow, u64_hashes_from_pandas
+from ..hashing import u64_hashes_from_arrow
 
 PARTIAL_SCHEMA = "shard_id long, n_items long, build_secs double, payload binary"
 
@@ -199,39 +199,42 @@ def build_grouped_sketches(df, group_col: str, spec: SketchSpec,
     (group_col, n_items, build_secs, payload).
     """
     import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import functions as F
 
     out_schema = f"{group_col} string, n_items long, build_secs double, payload binary"
     salted_schema = f"{group_col} string, salt int, n_items long, build_secs double, payload binary"
 
-    def build_salted(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    # no type hints: grouped-map arrow eval-type inference requires hints on
+    # EVERY parameter (including the key tuple) and the hint-free fallback
+    # is the grouped-map arrow eval type we want
+    def build_salted(key, tbl):
+        # Arrow-native (applyInArrow): tokens stay a flat values+offsets
+        # buffer for the vectorized ngram kernel — the pandas variant
+        # re-boxed every row's token array through Python
         t0 = time.perf_counter()
         sk = spec.make()
-        n = 0
+        col = tbl.column(spec.col)
         if spec.mode == "values":
             # NULL -> NaN here is correct: the quantile sketches filter NaN,
             # matching SQL aggregates' ignore-nulls semantics
-            data = pdf[spec.col].to_numpy(dtype=np.float64)
+            data = col.to_numpy(zero_copy_only=False).astype(np.float64)
             sk.update_values(data)
-            n = data.size
         elif spec.mode == "hash_col":
-            data = u64_hashes_from_pandas(pdf[spec.col], "grouped sketch build")
+            data = u64_hashes_from_arrow(col, "grouped sketch build")
             sk.update_hashes(data)
-            n = data.size
         else:
-            # a NULL tokens row is an empty document (the Arrow path's
-            # flat_from_arrow gives null list slots zero extent)
-            toks = [np.empty(0, dtype=np.int64) if t is None
-                    else np.asarray(t, dtype=np.int64) for t in pdf[spec.col]]
-            lengths = np.array([t.size for t in toks], dtype=np.int64)
-            flat = np.concatenate(toks) if toks else np.empty(0, dtype=np.int64)
-            offsets = np.concatenate([[0], np.cumsum(lengths)])
+            # a NULL tokens row has zero extent in flat_from_arrow's
+            # offsets: an empty document
+            flat, offsets = flat_from_arrow(col)
             data = ngram_hashes(flat, offsets, spec.ngram_n)
             sk.update_hashes(data)
-            n = data.size
-        return pd.DataFrame({
-            group_col: [key[0]], "salt": [int(key[1])], "n_items": [int(n)],
-            "build_secs": [time.perf_counter() - t0], "payload": [sk.to_bytes()],
+        return pa.table({
+            group_col: pa.array([key[0].as_py()], pa.string()),
+            "salt": pa.array([int(key[1].as_py())], pa.int32()),
+            "n_items": pa.array([int(data.size)], pa.int64()),
+            "build_secs": pa.array([time.perf_counter() - t0], pa.float64()),
+            "payload": pa.array([sk.to_bytes()], pa.binary()),
         })
 
     def merge_salts(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -251,5 +254,5 @@ def build_grouped_sketches(df, group_col: str, spec: SketchSpec,
               .select(group_col, spec.col)
               .withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(n_salts)))
               .groupBy(group_col, "salt")
-              .applyInPandas(build_salted, salted_schema))
+              .applyInArrow(build_salted, salted_schema))
     return salted.groupBy(group_col).applyInPandas(merge_salts, out_schema)
