@@ -35,6 +35,21 @@ from .dist.agg import SketchSpec, partial_sketches
 from .hashing import u64_hashes_from_pandas
 
 
+def _no_null_col(pdf, col: str, context: str) -> np.ndarray:
+    """A pandas column as numpy, refusing NULLs.
+
+    A NULL op value would launder through NaN to ``NaN >= 0 == False`` —
+    a silent retraction; a NULL sequence number argsorts last — a silent
+    reordering. Same refusal contract as the NULL-hash checks."""
+    ser = pdf[col]
+    na = ser.isna()
+    if na.any():
+        raise ValueError(
+            f"{context}: {int(na.sum())} NULL values in {col!r}; "
+            "filter them out upstream")
+    return ser.to_numpy()
+
+
 def apply_changelog(sk, h: np.ndarray, is_ins: np.ndarray,
                     n_items: int) -> int:
     """Apply one ordered changelog slice to a sketch, respecting row order
@@ -127,11 +142,15 @@ def keyed_sketch_stream(stream_df, spec: SketchSpec, key_col: str,
                 # delivered order IS the changelog order: apply per chunk,
                 # never buffering a hot key's whole micro-batch in memory
                 n_items = apply_changelog(
-                    sk, h, pdf[op_col].to_numpy() >= 0, n_items)
+                    sk, h,
+                    _no_null_col(pdf, op_col, "keyed sketch stream") >= 0,
+                    n_items)
             else:  # buffer the batch's slices so seq_col can total-order
                 hs.append(h)
-                ops.append(pdf[op_col].to_numpy() >= 0)
-                seqs.append(pdf[seq_col].to_numpy())
+                ops.append(_no_null_col(pdf, op_col,
+                                        "keyed sketch stream") >= 0)
+                seqs.append(_no_null_col(pdf, seq_col,
+                                         "keyed sketch stream"))
         if hs:
             h, op = np.concatenate(hs), np.concatenate(ops)
             order = np.argsort(np.concatenate(seqs), kind="stable")

@@ -340,3 +340,21 @@ def test_streaming_sketch_rejects_checkpoint_reset(tmp_path):
     ss.update(None, 7)   # exact replay of the committed batch: no-op
     with pytest.raises(ValueError, match="checkpoint was reset"):
         ss.update(None, 3)
+
+
+def test_changelog_op_and_seq_nulls_refused():
+    """A NULL op value would launder through NaN to `NaN >= 0 == False` — a
+    silent retraction; a NULL sequence number argsorts last — a silent
+    reordering. Both columns go through the shared refusal."""
+    import pandas as pd
+    import pytest
+
+    from qfilter_spark.streaming import _no_null_col
+
+    pdf = pd.DataFrame({"op": [1.0, None, -1.0], "seq": [1, 2, None]})
+    with pytest.raises(ValueError, match="NULL values"):
+        _no_null_col(pdf, "op", "keyed sketch stream")
+    with pytest.raises(ValueError, match="NULL values"):
+        _no_null_col(pdf, "seq", "keyed sketch stream")
+    clean = pd.DataFrame({"op": [1, -1]})
+    assert (_no_null_col(clean, "op", "t") >= 0).tolist() == [True, False]
