@@ -21,6 +21,22 @@ from pyspark.sql import DataFrame, functions as F
 FEATURE_DIM = 16
 
 
+def _require_payloads(batch, media_col: str) -> None:
+    """Refuse NULL media rows/payloads in a kernel batch.
+
+    A NULL payload still hashes JVM-side (xxhash64 of an all-NULL lane
+    degenerates to the seed constant), so without this check every NULL
+    row would get the SAME fabricated features/raster, and a NULL
+    ``n_bytes`` would launder through NaN into a garbage frame count —
+    the NULL-hash refusal contract, applied to media columns."""
+    col = batch.column(media_col)
+    nulls = col.null_count + col.field("bytes").null_count
+    if nulls:
+        raise ValueError(
+            f"multimodal kernel: NULL media rows/payloads in {media_col!r}; "
+            "filter them out upstream")
+
+
 def attach_media(df: DataFrame, payload_expr: str, media_type: str = "image",
                  out_col: str = "media") -> DataFrame:
     """Wrap a binary payload with typed metadata: struct(bytes, type, size)."""
@@ -67,6 +83,7 @@ def extract_features(df: DataFrame, media_col: str = "media",
     def run(batches):
         for batch in batches:
             n = batch.num_rows
+            _require_payloads(batch, media_col)
             seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
                      .astype(np.int64).view(np.uint64))
             feats = np.empty((n, dim), dtype=np.float32)
@@ -121,6 +138,7 @@ def resize_media(df: DataFrame, media_col: str = "media", width: int = 8,
                     "Arrow batch too large for int32 binary offsets at "
                     f"{out_px} output bytes/row — lower "
                     "spark.sql.execution.arrow.maxRecordsPerBatch")
+            _require_payloads(batch, media_col)
             seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
                      .astype(np.int64).view(np.uint64))
             lanes = np.empty((n, n_lanes), dtype=np.uint64)
@@ -176,6 +194,7 @@ def sample_frames(df: DataFrame, media_col: str = "media", every: int = 2,
             n = batch.num_rows
             if n == 0:
                 continue
+            _require_payloads(batch, media_col)
             seeds = (batch.column("__seed").to_numpy(zero_copy_only=False)
                      .astype(np.int64).view(np.uint64))
             nb = batch.column("__nb").to_numpy(zero_copy_only=False) \

@@ -83,3 +83,23 @@ def test_sample_frames_every_one_keeps_all(media_df):
     nb = {r["doc_id"]: r["media"]["n_bytes"]
           for r in media_df.select("doc_id", "media").collect()}
     assert out.count() == sum(1 + v % 7 for v in nb.values())
+
+
+def test_null_media_payloads_refused(spark):
+    """A NULL payload hashes JVM-side to the seed constant, so every NULL
+    row would silently get the SAME fabricated features/raster/frames —
+    refuse like the NULL-hash paths do."""
+    import pytest
+
+    from qfilter_spark.functions.multimodal import (
+        attach_media, extract_features, resize_media, sample_frames)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, None)], "id long, payload binary")
+    media = attach_media(df, "payload")
+    for fn in (lambda d: extract_features(d),
+               lambda d: resize_media(d),
+               lambda d: sample_frames(d, id_cols=["id"])):
+        with pytest.raises(Exception) as ei:
+            fn(media).collect()
+        assert "NULL media" in str(ei.value)
