@@ -41,10 +41,12 @@ def lsh_params_for(n_vectors: int, threshold: float = 0.95,
 
     Pinning ONE parameter conditions the other on it (the pair is jointly
     sized — substituting one side of an auto pair silently breaks the
-    recall bound): a pinned ``n_tables`` lowers ``n_bits`` to the widest
-    bucket width whose recall with those tables still clears
-    ``min_recall`` (never below 4 bits, never above the bucket-target
-    width); a pinned ``n_bits`` just derives the table count for it.
+    recall bound): a pinned ``n_bits`` derives the table count for that
+    width; a pinned ``n_tables`` keeps the bucket-target width and FAILS
+    if that table count cannot reach ``min_recall`` at it — silently
+    narrowing the buckets instead would recreate the quadratic self-join
+    blow-up this function exists to prevent, and silently accepting lower
+    recall would break the documented bound. Pin BOTH to force a geometry.
 
     ``max_tables`` bounds the auto table count: below ~0.85 thresholds the
     required table count explodes (898 tables at threshold 0.8 over 1e9
@@ -56,13 +58,16 @@ def lsh_params_for(n_vectors: int, threshold: float = 0.95,
     bucket_bits = max(4, math.ceil(
         math.log2(max(n_vectors, 2) / target_bucket_rows)))
     if n_bits is None:
+        n_bits = bucket_bits
         if n_tables is not None and 0.0 < p < 1.0:
-            # widest b with 1-(1-p^b)^T >= min_recall for the pinned T
-            per_min = 1.0 - (1.0 - min_recall) ** (1.0 / n_tables)
-            b_max = int(math.log(per_min) / math.log(p)) if per_min > 0 else bucket_bits
-            n_bits = max(4, min(bucket_bits, b_max))
-        else:
-            n_bits = bucket_bits
+            recall = 1.0 - (1.0 - p ** n_bits) ** n_tables
+            if recall < min_recall:
+                raise ValueError(
+                    f"lsh_params_for: {n_tables} pinned tables reach recall "
+                    f"{recall:.4f} < {min_recall} at the {n_bits}-bit "
+                    f"bucket-target width for {n_vectors} vectors — "
+                    "pin n_bits too to force this geometry, or let "
+                    "n_tables auto-size")
     if n_tables is None:
         per_table = p ** n_bits
         if per_table >= 1.0:    # threshold == 1.0: exact dups always collide

@@ -30,11 +30,12 @@ def _require_payloads(batch, media_col: str) -> None:
     ``n_bytes`` would launder through NaN into a garbage frame count —
     the NULL-hash refusal contract, applied to media columns."""
     col = batch.column(media_col)
-    nulls = col.null_count + col.field("bytes").null_count
+    nulls = (col.null_count + col.field("bytes").null_count
+             + col.field("n_bytes").null_count)
     if nulls:
         raise ValueError(
-            f"multimodal kernel: NULL media rows/payloads in {media_col!r}; "
-            "filter them out upstream")
+            f"multimodal kernel: NULL media rows/payloads/sizes in "
+            f"{media_col!r}; filter them out upstream")
 
 
 def attach_media(df: DataFrame, payload_expr: str, media_type: str = "image",

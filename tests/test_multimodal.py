@@ -103,3 +103,17 @@ def test_null_media_payloads_refused(spark):
         with pytest.raises(Exception) as ei:
             fn(media).collect()
         assert "NULL media" in str(ei.value)
+
+    # a struct NOT built by attach_media with bytes set but n_bytes NULL
+    # (sample_frames would launder it through NaN into a garbage frame
+    # count) is refused the same way
+    from pyspark.sql import functions as F
+
+    bad_nb = spark.createDataFrame(
+        [(1, bytearray(b"abc"))], "id long, payload binary").select(
+        "id", F.struct(F.col("payload").alias("bytes"),
+                       F.lit("image").alias("media_type"),
+                       F.lit(None).cast("int").alias("n_bytes")).alias("media"))
+    with pytest.raises(Exception) as ei:
+        sample_frames(bad_nb, id_cols=["id"]).collect()
+    assert "NULL media" in str(ei.value)

@@ -89,10 +89,16 @@ def test_lsh_params_pinned_parameter_conditions_the_other():
     # pinned n_bits -> table count derived FOR that width
     t, b = ann.lsh_params_for(10**9, 0.95, n_bits=20)
     assert b == 20 and 1.0 - (1.0 - p ** b) ** t >= 0.9999
-    # pinned n_tables -> bucket width lowered until recall holds
-    t2, b2 = ann.lsh_params_for(10**9, 0.95, n_tables=16)
-    assert t2 == 16 and 1.0 - (1.0 - p ** b2) ** 16 >= 0.9999
-    assert b2 < 20            # 20 bits with 16 tables would read ~0.87
+    # a pinned table count keeps the bucket-target width: if it cannot
+    # reach the recall bound there, FAIL — silently narrowing the buckets
+    # would recreate the quadratic self-join blow-up, silently accepting
+    # lower recall would break the documented bound
+    with pytest.raises(ValueError, match="pinned tables"):
+        ann.lsh_params_for(10**9, 0.95, n_tables=16)
+    # ... but a pinned count that does clear the bound at the target
+    # width passes through (small corpus: the historical 16x4 geometry)
+    t3, b3 = ann.lsh_params_for(2_000, 0.95, n_tables=16)
+    assert (t3, b3) == (16, 4)
     # impractical threshold/scale fails loudly instead of shuffling
     # thousands of signature copies
     with pytest.raises(ValueError, match="impractical"):
