@@ -506,7 +506,10 @@ def _emit_chunk_rows(df, spec_like: SketchSpec, n_shards: int, fs: int,
 
     def flush(buf: list) -> "pa.RecordBatch":
         fps = np.concatenate(buf)
-        fps.sort(kind="stable")
+        # default introsort: the buffer is fresh UNSORTED hashes (unlike the
+        # merge paths, which concatenate sorted runs and want timsort) and
+        # this numpy's stable u64 sort is ~7x slower on random input
+        fps.sort()
         bounds = np.searchsorted(
             fps, np.arange(1, n_shards, dtype=np.uint64) << shift, side="left")
         chunks = np.split(fps, bounds)
@@ -679,7 +682,8 @@ def _emit_split_chunks(df, spec_in: SketchSpec, directory: "ShardDirectory",
 
     def flush(buf: list) -> "pa.RecordBatch":
         fps = np.concatenate(buf)
-        fps.sort(kind="stable")
+        # introsort: fresh unsorted hashes (see _emit_chunk_rows.flush)
+        fps.sort()
         keys, shards, ns, pays = [], [], [], []
         for key, part in directory.split_sorted(fps):
             shard = int(directory.shards[key])
