@@ -94,9 +94,30 @@ def partial_sketches(df, spec: SketchSpec):
         t0 = time.perf_counter()
         sk = spec.make()
         n = 0
+        # RSQF keeps a SORTED multiset: feeding it per Arrow batch re-sorts
+        # the whole accumulated array once per batch (O(batches * n log n)
+        # across a task — measured 2.3 s for a 600k-row single-partition
+        # build at the 2048-row batch size). Buffer the extracted hash
+        # chunks and fold them in bounded bulk updates instead — identical
+        # final multiset (insert_hashes is sequential-equivalent and calls
+        # compose), one sort per ~16M hashes. Other sketch kinds
+        # (HLL/CMS/KLL/t-digest/Bloom) absorb batches in O(batch) already.
+        bulk = isinstance(sk, sketches.RsqfSketch)
+        bufs: list[np.ndarray] = []
+        buffered = 0
         for batch in batches:
             if batch.num_rows:
-                n += spec.update(sk, spec.extract(batch))
+                data = spec.extract(batch)
+                if not bulk:
+                    n += spec.update(sk, data)
+                elif data.size:
+                    bufs.append(data)
+                    buffered += data.size
+                    if buffered >= 16_000_000:
+                        n += spec.update(sk, np.concatenate(bufs))
+                        bufs, buffered = [], 0
+        if bufs:
+            n += spec.update(sk, np.concatenate(bufs))
         pid = TaskContext.get().partitionId()
         yield pa.record_batch(
             [pa.array([pid], pa.int64()), pa.array([n], pa.int64()),

@@ -194,7 +194,9 @@ def q_rsqf_fpr(spark, sf_dir):
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     blob = build_sketch(docs, spec, fan_in=8)
     sk = sketches.loads(blob)
-    absent = spark.range(10**12, 10**12 + 50_000).select(
+    # explicit numPartitions: the default range parallelism fans 50k rows
+    # over defaultParallelism tiny python tasks — pure scheduling overhead
+    absent = spark.range(10**12, 10**12 + 50_000, 1, 8).select(
         F.xxhash64(F.col("id").cast("long")).alias("h"))
     hits = probe_hashes(absent, blob, "h", out_col="c", as_bool=True) \
         .where("c").count()
@@ -234,7 +236,10 @@ def q_rsqf_counting(spark, sf_dir):
 
 def q_rsqf_merge_invariance(spark, sf_dir):
     """Permuted tree-merge orders give bit-identical filters."""
-    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey").repartition(8)
+    # project before the exchange (guide §2.3): only the hash column
+    # belongs in the 8-way shuffle feeding the partial build
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey") \
+        .select("h").repartition(8)
     n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     parts = [bytes(r["payload"]) for r in partial_sketches(li, spec).collect()]
@@ -442,17 +447,32 @@ def q_rsqf_sharded(spark, sf_dir):
     """
     from .dist.sharded import build_sharded_filter, probe_sharded, sharded_to_single
 
+    from concurrent.futures import ThreadPoolExecutor
+
     li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey")
     n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     n_shards = 16
-    filter_df = build_sharded_filter(li, spec, n_shards=n_shards)
-    single = sketches.loads(build_sketch(li, spec, fan_in=8))
-    merged = sketches.loads(sharded_to_single(filter_df, spec, n_shards))
+    # cache + materialize the shard table ONCE: both consumers below
+    # (parity collapse and probe) would otherwise re-run the whole build;
+    # then overlap the independent driver jobs (guide §2.6) so the
+    # single-blob build backfills cores the sharded consumers leave idle
+    filter_df = build_sharded_filter(li, spec, n_shards=n_shards).cache()
+    try:
+        filter_df.count()
+        with ThreadPoolExecutor(2) as pool:
+            fut_single = pool.submit(
+                lambda: sketches.loads(build_sketch(li, spec, fan_in=8)))
+            fut_stats = pool.submit(
+                lambda: probe_sharded(li, "h", filter_df, n_shards, spec)
+                .groupBy().sum("n_probed", "n_contained").collect()[0])
+            merged = sketches.loads(sharded_to_single(filter_df, spec, n_shards))
+            single = fut_single.result()
+            stats = fut_stats.result()
+    finally:
+        filter_df.unpersist()
     identical = bool(np.array_equal(merged.filter.fingerprints(),
                                     single.filter.fingerprints()))
-    stats = probe_sharded(li, "h", filter_df, n_shards, spec) \
-        .groupBy().sum("n_probed", "n_contained").collect()[0]
     return _one_row(spark, n_probed=int(stats[0]), n_contained=int(stats[1]),
                     sharded_equals_single=identical)
 
@@ -469,17 +489,25 @@ def q_rsqf_sharded_insert(spark, sf_dir):
     n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01),
                       "hash_col", "h")
+    from concurrent.futures import ThreadPoolExecutor
+
     n_shards = 16
     day1 = li.where("l_orderkey % 2 = 0")
     day2 = li.where("l_orderkey % 2 != 0")
     updated = insert_sharded(build_sharded_filter(day1, spec, n_shards),
                              day2, spec, n_shards, spec).cache()
-    a = sketches.loads(sharded_to_single(updated, spec, n_shards))
-    b = sketches.loads(build_sketch(li, spec, fan_in=8))  # one-shot rebuild
+    updated.count()  # materialize once; the three consumers below reuse it
+    with ThreadPoolExecutor(2) as pool:  # overlap independent jobs (§2.6)
+        fut_rebuild = pool.submit(
+            lambda: sketches.loads(build_sketch(li, spec, fan_in=8)))
+        fut_stats = pool.submit(
+            lambda: probe_sharded(li, "h", updated, n_shards, spec)
+            .groupBy().sum("n_probed", "n_contained").collect()[0])
+        a = sketches.loads(sharded_to_single(updated, spec, n_shards))
+        b = fut_rebuild.result()  # one-shot rebuild
+        stats = fut_stats.result()
     identical = bool(np.array_equal(a.filter.fingerprints(),
                                     b.filter.fingerprints()))
-    stats = (probe_sharded(li, "h", updated, n_shards, spec)
-             .groupBy().sum("n_probed", "n_contained").collect()[0])
     updated.unpersist()
     return _one_row(spark, n_probed=int(stats[0]), n_contained=int(stats[1]),
                     incremental_equals_rebuild=identical)
@@ -511,23 +539,40 @@ def q_rsqf_sharded_skew(spark, sf_dir):
         (F.lit(3).cast("long") * F.lit(1 << shift)
          + F.xxhash64((F.col("event_id") + F.lit(10**9)).cast("long"))
          .bitwiseAND(F.lit(low_mask))).alias("h"))
-    df = fan_out(uniform.union(hot))
+    from concurrent.futures import ThreadPoolExecutor
+
+    df = fan_out(uniform.union(hot)).cache()
     cap = max(64, n // 3)
-    filt, directory = build_sharded_filter_split(df, spec, n_shards=n_shards,
-                                                 max_fps_per_row=cap)
+    try:
+        filt, directory = build_sharded_filter_split(df, spec,
+                                                     n_shards=n_shards,
+                                                     max_fps_per_row=cap)
+    except Exception:
+        df.unpersist()
+        raise
     try:
         # (the split build's at-rest form is a parquet dir; removed after
-        # the last consumer below)
-        shape = filt.agg(F.max("n_fps").alias("mx"),
-                         F.count("*").alias("rows")).collect()[0]
-        single = sketches.loads(build_sketch(df, spec, fan_in=8))
-        merged = sketches.loads(split_to_single(filt, spec, n_shards))
+        # the last consumer below). The split build materialized df into
+        # the cache, so the single-blob build and the probe below reuse it;
+        # the three consumers are independent driver jobs — overlap them
+        # (guide §2.6).
+        with ThreadPoolExecutor(2) as pool:
+            fut_single = pool.submit(
+                lambda: sketches.loads(build_sketch(df, spec, fan_in=8)))
+            fut_stats = pool.submit(
+                lambda: (probe_sharded_split(df, spec, filt, directory, spec)
+                         .groupBy().sum("n_probed", "n_contained")
+                         .collect()[0]))
+            shape = filt.agg(F.max("n_fps").alias("mx"),
+                             F.count("*").alias("rows")).collect()[0]
+            merged = sketches.loads(split_to_single(filt, spec, n_shards))
+            single = fut_single.result()
+            stats = fut_stats.result()
         identical = bool(np.array_equal(merged.filter.fingerprints(),
                                         single.filter.fingerprints()))
-        stats = (probe_sharded_split(df, spec, filt, directory, spec)
-                 .groupBy().sum("n_probed", "n_contained").collect()[0])
     finally:
         retire_split_filter(filt)
+        df.unpersist()
     return _one_row(spark,
                     n_probed=int(stats[0]), n_contained=int(stats[1]),
                     hot_shard_split=bool(shape["rows"] > n_shards + 1),
@@ -572,9 +617,26 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
     # shards, so the bound must sit BELOW n/16 (the round-3 max(64, n//8)
     # never split anything and the gate silently degenerated to the
     # unsplit case); really_split asserts the multi-row layout happened
-    filt, directory = build_sharded_filter_split(
-        fan_out(ev), spec, n_shards=n_shards,
-        max_fps_per_row=max(16, n // 32))
+    from concurrent.futures import ThreadPoolExecutor
+
+    # parity reference: the unsplit distributed remove (itself gated
+    # bit-equal to the single-node filter by rsqf_remove/rsqf_sharded).
+    # Independent of the split pipeline — run it on a driver thread so its
+    # jobs backfill the cluster while the split branch runs (guide §2.6).
+    def ref_branch():
+        ref = remove_sharded(build_sharded_filter(ev, spec, n_shards=n_shards),
+                             removals, "h", n_shards, spec)
+        return sketches.loads(sharded_to_single(ref, spec, n_shards))
+
+    pool = ThreadPoolExecutor(1)
+    fut_ref = pool.submit(ref_branch)
+    try:
+        filt, directory = build_sharded_filter_split(
+            fan_out(ev), spec, n_shards=n_shards,
+            max_fps_per_row=max(16, n // 32))
+    except Exception:
+        pool.shutdown(wait=False)
+        raise
     try:
         n_split_rows = filt.count()
         after = remove_sharded_split(filt, removals, spec, directory,
@@ -586,12 +648,8 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
             .collect()[0]["b"]
         len_after = shrunk.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
 
-        # parity reference: the unsplit distributed remove (itself gated
-        # bit-equal to the single-node filter by rsqf_remove/rsqf_sharded)
-        ref = remove_sharded(build_sharded_filter(ev, spec, n_shards=n_shards),
-                             removals, "h", n_shards, spec)
         a = sketches.loads(split_to_single(shrunk, spec, n_shards))
-        b = sketches.loads(sharded_to_single(ref, spec, n_shards))
+        b = fut_ref.result()
         identical = bool(np.array_equal(a.filter.fingerprints(),
                                         b.filter.fingerprints()))
 
@@ -601,6 +659,7 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
         shrunk.unpersist()
     finally:
         retire_split_filter(filt)
+        pool.shutdown(wait=True)
     return _one_row(spark, len_after=int(len_after),
                     n_remaining_contained=int(stats["n"]),
                     really_split=bool(n_split_rows > n_shards),
@@ -648,17 +707,22 @@ def q_cms_heavy_hitters(spark, sf_dir):
 
 
 def _quantile_check(spark, df, col, kind, params, tol_millis):
-    df = fan_out(df)
+    # project to the one value column BEFORE the fan-out exchange (guide
+    # §2.3: an explicit select ahead of the repartition keeps the shuffle
+    # from carrying every table column into the build)
+    vals = df.select(col)
     spec = SketchSpec(kind, params, "values", col)
-    blob = build_sketch(df, spec, fan_in=8)
+    blob = build_sketch(fan_out(vals), spec, fan_in=8)
     sk = sketches.loads(blob)
     pcts = [10, 25, 50, 75, 90]
     ests = {p: float(sk.quantile(p / 100.0)) for p in pcts}
-    # all exact ranks in ONE scan: conditional sums per estimate
+    # all exact ranks in ONE scan: conditional sums per estimate — over the
+    # RAW scan (the rank aggregate needs no partitioning, so re-running the
+    # fan-out shuffle for it was pure waste)
     aggs = [F.count("*").alias("n")] + [
         F.sum((F.col(col) <= F.lit(ests[p])).cast("long")).alias(f"r{p}")
         for p in pcts]
-    row = df.agg(*aggs).collect()[0]
+    row = vals.agg(*aggs).collect()[0]
     n = row["n"]
     rows = [(p, bool(abs(row[f"r{p}"] / n - p / 100.0) * 1000 <= tol_millis))
             for p in pcts]
@@ -921,7 +985,10 @@ def q_merge_lineage_resume(spark, sf_dir):
     from .dist.checkpoint import MergeLineage, resume_tree_merge
     import os as _os
 
-    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey").repartition(8)
+    # project to the hash BEFORE the 8-way exchange (guide §2.3) — the
+    # round-5 shape shuffled every lineitem column into the partial build
+    li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey") \
+        .select("h").repartition(8)
     n = table_rows(sf_dir, "lineitem")
     spec = SketchSpec("rsqf", dict(capacity=max(64, n), fp_rate=0.01), "hash_col", "h")
     with tempfile.TemporaryDirectory() as d:
@@ -1164,12 +1231,19 @@ def q_ann_bruteforce(spark, sf_dir):
 
 
 def q_ann_lsh_recall(spark, sf_dir):
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load(spark, sf_dir, "embeddings")
     qs = _queries_from(emb, 10)
-    exact = {(r["query_id"], r["neighbor_id"])
-             for r in ann.cosine_topk(emb, qs, k=10).collect()}
-    approx = {(r["query_id"], r["neighbor_id"])
-              for r in ann.lsh_topk(emb, qs, k=10).collect()}
+    # exact and LSH rankings are independent driver jobs: overlap them
+    # (guide §2.6) — identical result sets, computed concurrently
+    with ThreadPoolExecutor(2) as pool:
+        fut_exact = pool.submit(
+            lambda: {(r["query_id"], r["neighbor_id"])
+                     for r in ann.cosine_topk(emb, qs, k=10).collect()})
+        approx = {(r["query_id"], r["neighbor_id"])
+                  for r in ann.lsh_topk(emb, qs, k=10).collect()}
+        exact = fut_exact.result()
     recall = len(exact & approx) / len(exact)
     # n_recall_hits (of 100 exact pairs) is deterministic — seeded
     # hyperplanes, exact re-rank — and pinned per-corpus in the oracle so
@@ -1186,22 +1260,29 @@ def q_ann_ivf_recall(spark, sf_dir):
     the random-data expectation with margin (these embeddings are
     near-uniform: expected recall ~= (1 + 9*nprobe/n_lists)/10 ~ 0.55 at
     8/16; the top-1 self-hit is guaranteed)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load(spark, sf_dir, "embeddings")
     qs = _queries_from(emb, 10)
-    exact = {(r["query_id"], r["neighbor_id"])
-             for r in ann.cosine_topk(emb, qs, k=10).collect()}
 
-    def hits(train):
-        approx = {(r["query_id"], r["neighbor_id"])
-                  for r in ann.ivf_topk(emb, qs, k=10, n_lists=16, nprobe=8,
-                                        train=train).collect()}
-        return len(exact & approx)
+    def pairs(kind):
+        if kind == "exact":
+            df = ann.cosine_topk(emb, qs, k=10)
+        else:
+            df = ann.ivf_topk(emb, qs, k=10, n_lists=16, nprobe=8, train=kind)
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
 
     # hit counts (of 100 exact pairs) are deterministic — seeded k-means
     # init, single-split scan order for the distributed partial sums — and
     # pinned per-corpus in the oracle: both trainers' recall is degree-
-    # checked, not just bound-checked.
-    h_sample, h_dist = hits("sample"), hits("distributed")
+    # checked, not just bound-checked. The three rankings are independent
+    # driver jobs — overlap them (guide §2.6).
+    with ThreadPoolExecutor(3) as pool:
+        fut = {k: pool.submit(pairs, k)
+               for k in ("exact", "sample", "distributed")}
+        exact = fut["exact"].result()
+        h_sample = len(exact & fut["sample"].result())
+        h_dist = len(exact & fut["distributed"].result())
     return _one_row(spark, n_queries=10,
                     n_recall_hits_sample=h_sample,
                     n_recall_hits_dist=h_dist,
@@ -1243,17 +1324,35 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     Recall for true near-dups at this threshold is ~1-1e-7, so the output
     equals the exact all-pairs oracle.
     """
+    import pyarrow.parquet as pq
+    import os as _os
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dim = len(emb.select("embedding").first()["embedding"])
+    # dim from the parquet file directly (one-row driver-side read): the
+    # round-5 .first() was a whole Spark job for one scalar
+    path = f"{sf_dir}/embeddings.parquet"
+    if _os.path.isdir(path):
+        path = sorted(_os.path.join(path, f) for f in _os.listdir(path)
+                      if f.endswith(".parquet"))[0]
+    first = next(pq.ParquetFile(path).iter_batches(
+        batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
     # the DuckDB oracle embeds planted_near_dup_vectors() at the DEFAULT
     # dim (oracle_sql() has no table context); both sides only agree while
     # the corpus dim matches it — fail loudly rather than diverge
     assert dim == 64, (
         f"embeddings dim {dim} != 64: regenerate the oracle VALUES in "
         "__spark_entry__._planted_emb_values_sql for the new dim")
-    planted = spark.createDataFrame(planted_near_dup_vectors(dim),
+    planted_rows = planted_near_dup_vectors(dim)
+    planted = spark.createDataFrame(planted_rows,
                                     "vec_id long, embedding array<float>")
-    return ann.cosine_near_pairs(emb.union(planted), threshold=0.95, dim=dim)
+    # LSH geometry from footer row counts instead of a count() job — the
+    # same n cosine_near_pairs would count (corpus rows + planted rows),
+    # so the derived (n_tables, n_bits) pair is identical
+    n_vecs = table_rows(sf_dir, "embeddings") + len(planted_rows)
+    n_tables, n_bits = ann.lsh_params_for(n_vecs, 0.95)
+    return ann.cosine_near_pairs(emb.union(planted), threshold=0.95,
+                                 n_tables=n_tables, n_bits=n_bits, dim=dim)
 
 
 def q_multimodal_stats(spark, sf_dir):
