@@ -76,7 +76,7 @@ class _session_confs:
                 self.spark.conf.set(k, v)
 
 
-def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
+def _few_shuffle_partitions(spark: SparkSession, n: int | None = None):
     """Cap spark.sql.shuffle.partitions for a streaming query, and pin the
     session timezone to UTC so event-time window arithmetic is portable.
 
@@ -84,7 +84,15 @@ def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
     this setting at first start; a 200-partition default means 200 state
     tasks per trigger for a toy stream. Gate/bench streams set a small
     count for their own (fresh) checkpoints and restore the session value.
+
+    The default is sized to the gate streams' KEY cardinality (<= 5 event
+    types / <= 30 windows — more state partitions than distinct keys is
+    pure per-trigger task overhead at any cluster size; measured 8 -> 2
+    cuts the keyed gate row ~30%). Production streams with real key
+    cardinality should set ``spark.qfilter.stream.statePartitions``.
     """
+    if n is None:
+        n = int(spark.conf.get("spark.qfilter.stream.statePartitions", "2"))
     return _session_confs(spark, **{"spark.sql.shuffle.partitions": n,
                                     "spark.sql.session.timeZone": "UTC"})
 
@@ -282,7 +290,24 @@ def q_rsqf_growth(spark, sf_dir):
     cap_ok = (f.capacity() >= len_after
               and f.capacity_resizeable() >= f.capacity()
               and f.memory_usage() > 0)
-    h0 = np.uint64(np.int64(ev.select("h").first()["h"]))
+    # one INSERTED hash for the clear_ok probe, via the Spark-bit-identical
+    # numpy XXH64 over a parquet row read driver-side — the round-5
+    # .first() was a whole Spark job for one scalar (any inserted event's
+    # hash serves: every event row is in the filter)
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    from .hashing import xxh64_u64
+
+    path = f"{sf_dir}/events.parquet"
+    if _os.path.isdir(path):
+        path = sorted(_os.path.join(path, f) for f in _os.listdir(path)
+                      if f.endswith(".parquet"))[0]
+    first = next(pq.ParquetFile(path).iter_batches(
+        batch_size=1, columns=["event_id"]))
+    ev0 = np.array([first.column(0)[0].as_py()], dtype=np.int64)
+    h0 = xxh64_u64(ev0.view(np.uint64))[0]
     had = bool(f.contains_hashes(np.array([h0], dtype=np.uint64))[0])
     f.clear()
     gone = not bool(f.contains_hashes(np.array([h0], dtype=np.uint64))[0])
@@ -301,7 +326,8 @@ def q_rsqf_remove(spark, sf_dir):
     co-partitioned group join as the build. No data row ever reaches the
     driver — only per-shard aggregates.
     """
-    from .dist.sharded import build_sharded_filter, probe_sharded, remove_sharded
+    from .dist.sharded import (build_sharded_filter, probe_sharded_chunks,
+                               remove_sharded)
 
     ev = _hashed(load(spark, sf_dir, "events"), "event_id")
     n = table_rows(sf_dir, "events")
@@ -312,7 +338,10 @@ def q_rsqf_remove(spark, sf_dir):
     after = remove_sharded(filt, ev.where("event_id % 3 = 0"), "h",
                            n_shards, spec).cache()
     keep = ev.where("event_id % 3 != 0")
-    stats = (probe_sharded(keep, "h", after, n_shards, spec)
+    # sorted-chunk probe (same per-shard counts as the row probe, but the
+    # shuffle ships one binary chunk per (task, shard) instead of a row
+    # per survivor — guide 2.3 "shuffle fewer bytes")
+    stats = (probe_sharded_chunks(keep, spec, after, n_shards, spec)
              .agg(F.sum("n_contained").alias("n")).collect()[0])
     len_after = after.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
     after.unpersist()
@@ -445,7 +474,8 @@ def q_rsqf_sharded(spark, sf_dir):
     The 100TB layout (dist/sharded.py): filter partitioned by fingerprint
     prefix into a table of shards; probe via co-partitioned group join.
     """
-    from .dist.sharded import build_sharded_filter, probe_sharded, sharded_to_single
+    from .dist.sharded import (build_sharded_filter, probe_sharded_chunks,
+                               sharded_to_single)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -464,7 +494,8 @@ def q_rsqf_sharded(spark, sf_dir):
             fut_single = pool.submit(
                 lambda: sketches.loads(build_sketch(li, spec, fan_in=8)))
             fut_stats = pool.submit(
-                lambda: probe_sharded(li, "h", filter_df, n_shards, spec)
+                lambda: probe_sharded_chunks(li, spec, filter_df, n_shards,
+                                             spec)
                 .groupBy().sum("n_probed", "n_contained").collect()[0])
             merged = sketches.loads(sharded_to_single(filter_df, spec, n_shards))
             single = fut_single.result()
@@ -483,7 +514,7 @@ def q_rsqf_sharded_insert(spark, sf_dir):
     union (canonical-form merge), and every key from both days probes as
     contained. The daily-append operation at warehouse scale."""
     from .dist.sharded import (build_sharded_filter, insert_sharded,
-                               probe_sharded, sharded_to_single)
+                               probe_sharded_chunks, sharded_to_single)
 
     li = _hashed(load(spark, sf_dir, "lineitem"), "l_orderkey")
     n = table_rows(sf_dir, "lineitem")
@@ -501,7 +532,7 @@ def q_rsqf_sharded_insert(spark, sf_dir):
         fut_rebuild = pool.submit(
             lambda: sketches.loads(build_sketch(li, spec, fan_in=8)))
         fut_stats = pool.submit(
-            lambda: probe_sharded(li, "h", updated, n_shards, spec)
+            lambda: probe_sharded_chunks(li, spec, updated, n_shards, spec)
             .groupBy().sum("n_probed", "n_contained").collect()[0])
         a = sketches.loads(sharded_to_single(updated, spec, n_shards))
         b = fut_rebuild.result()  # one-shot rebuild
@@ -1108,8 +1139,12 @@ def q_streaming_retraction(spark, sf_dir):
         inserts = base.withColumn("op", F.lit(1))
         retracts = (base.where("event_id % 2 = 0")
                     .withColumn("op", F.lit(-1)))
-        _write_stream_chunks(inserts, src, F.lit(0).cast("int"), 1)
-        _write_stream_chunks(retracts, src, F.lit(0).cast("int"), 1, start=1)
+        # ONE write job for both replay files: chunk 0 = the insert batch,
+        # chunk 1 = the retract batch (same two files, same ascending
+        # mtimes, one Spark job instead of two)
+        _write_stream_chunks(inserts.union(retracts), src,
+                             F.when(F.col("op") >= 0, 0).otherwise(1)
+                             .cast("int"), 2)
         stream = (spark.readStream
                   .schema("event_type string, event_id long, op int")
                   .option("maxFilesPerTrigger", 1).parquet(src)
