@@ -675,9 +675,9 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
         bytes_before = after.agg(F.sum(F.length("payload")).alias("b")) \
             .collect()[0]["b"]
         shrunk = shrink_sharded(after).cache()
-        bytes_after = shrunk.agg(F.sum(F.length("payload")).alias("b")) \
-            .collect()[0]["b"]
-        len_after = shrunk.agg(F.sum("n_fps").alias("n")).collect()[0]["n"]
+        srow = shrunk.agg(F.sum(F.length("payload")).alias("b"),
+                          F.sum("n_fps").alias("n")).collect()[0]
+        bytes_after, len_after = srow["b"], srow["n"]
 
         a = sketches.loads(split_to_single(shrunk, spec, n_shards))
         b = fut_ref.result()
