@@ -78,6 +78,31 @@ def child(base: str, name: str) -> str:
     return base.rstrip("/") + "/" + name
 
 
+def total_length(spark, input_files: list[str], max_dirs: int = 64) -> int:
+    """Total bytes of a set of scan input files (one ``listStatus`` RPC
+    per distinct parent directory, same shape as :func:`content_stamp`).
+    Returns 0 when nothing is listable — callers must treat 0 as
+    "unknown" and fall back to a safe default."""
+    by_parent: dict[str, set[str]] = {}
+    for f in input_files:
+        if "/" in f:
+            d, name = f.rsplit("/", 1)
+            by_parent.setdefault(d, set()).add(name)
+    if len(by_parent) > max_dirs:
+        return 0
+    total = 0
+    for d in sorted(by_parent):
+        names = by_parent[d]
+        try:
+            fs = get_fs(spark, d)
+            for st in fs.listStatus(jpath(spark, d)):
+                if st.getPath().getName() in names:
+                    total += int(st.getLen())
+        except Exception:
+            return 0
+    return total
+
+
 def content_stamp(spark, input_files: list[str], max_dirs: int = 64) -> int:
     """A freshness fingerprint for a set of scan input files: hashes each
     distinct parent directory's listing of ``(name, mtime, length)``.

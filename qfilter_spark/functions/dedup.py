@@ -436,6 +436,32 @@ def _rare_pair_stats(ex_f: DataFrame, max_df: int) -> DataFrame:
                                F.col("n_hot").alias("hot_b")), "doc_b"))
 
 
+def _ngram_bucket_count(spark, df: DataFrame) -> int:
+    """Bucket count for the materialized explode table, sized to the INPUT
+    rather than pinned to the session's core count (a 32-bucket table for
+    a 1000-doc gate corpus paid ~0.5-1 s of pure task/file overhead per
+    consumer stage, measured; a corpus-sized rule keeps buckets in the
+    tens-of-MB range at any scale). The explode is a small constant factor
+    of the input text bytes, so input bytes / 8 MB, clamped to
+    [4, 4 * defaultParallelism], is used; ``spark.qfilter.ngram.buckets``
+    pins it outright, and unknown input sizes (non-file sources) fall back
+    to defaultParallelism.
+    """
+    pinned = spark.conf.get("spark.qfilter.ngram.buckets", None)
+    if pinned:
+        return int(pinned)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        from .. import fsutil
+
+        in_bytes = fsutil.total_length(spark, df.inputFiles())
+    except Exception:
+        in_bytes = 0
+    if in_bytes <= 0:
+        return par
+    return max(4, min(4 * par, -(-in_bytes // (8 << 20))))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold_millis: int = 800,
@@ -493,7 +519,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # coalesce cached plans — the round-1/2 legacy path, now removed).
     rare = F.col("freq") <= max_df
     spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = _ngram_bucket_count(spark, df)
     annotated = ex.join(dfreq, "hs")
     ex_f = _materialize_bucketed(spark, annotated, n_parts)
 
