@@ -659,7 +659,7 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
                              removals, "h", n_shards, spec)
         return sketches.loads(sharded_to_single(ref, spec, n_shards))
 
-    pool = ThreadPoolExecutor(1)
+    pool = ThreadPoolExecutor(2)
     fut_ref = pool.submit(ref_branch)
     try:
         filt, directory = build_sharded_filter_split(
@@ -679,13 +679,16 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
                           F.sum("n_fps").alias("n")).collect()[0]
         bytes_after, len_after = srow["b"], srow["n"]
 
+        # probe and parity collapse both read the cached shrunk table
+        # (materialized by the aggregate above) — overlap them too
+        fut_stats = pool.submit(
+            lambda: (probe_sharded_split(keep, spec, shrunk, directory, spec)
+                     .agg(F.sum("n_contained").alias("n")).collect()[0]))
         a = sketches.loads(split_to_single(shrunk, spec, n_shards))
         b = fut_ref.result()
         identical = bool(np.array_equal(a.filter.fingerprints(),
                                         b.filter.fingerprints()))
-
-        stats = (probe_sharded_split(keep, spec, shrunk, directory, spec)
-                 .agg(F.sum("n_contained").alias("n")).collect()[0])
+        stats = fut_stats.result()
         after.unpersist()
         shrunk.unpersist()
     finally:
@@ -920,6 +923,8 @@ def q_doc_fingerprint_winnow(spark, sf_dir, n: int = 3, w: int = 4):
             .withColumn("grams", winnow.gram_hash_col("tk", n))
             .withColumn("winnowed", winnow.winnow_col("grams", w))).cache()
 
+    from concurrent.futures import ThreadPoolExecutor
+
     bounds_bad = (
         ((F.size("grams") >= w)
          & ((F.size("winnowed") < 1)
@@ -927,11 +932,15 @@ def q_doc_fingerprint_winnow(spark, sf_dir, n: int = 3, w: int = 4):
         | ((F.size("grams") > 0) & (F.size("grams") < w)
            & (F.size("winnowed") != 1))
         | (F.size(F.array_except("winnowed", "grams")) > 0))
-    jvm = base.agg(
+    # the JVM aggregate and the numpy-kernel aggregate below are
+    # independent consumers of the cached base — overlap them (guide
+    # §2.6; Spark's block-level cache locks dedup the shared compute)
+    pool = ThreadPoolExecutor(1)
+    fut_jvm = pool.submit(lambda: base.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("grams")).alias("n_grams"),
         F.expr("bit_xor(aggregate(grams, 0L, (a, x) -> a ^ x))").alias("xr"),
-        F.sum(bounds_bad.cast("long")).alias("n_bad")).collect()[0]
+        F.sum(bounds_bad.cast("long")).alias("n_bad")).collect()[0])
 
     def kernel_stats(batches):
         cnt, xr = 0, np.uint64(0)
@@ -948,6 +957,8 @@ def q_doc_fingerprint_winnow(spark, sf_dir, n: int = 3, w: int = 4):
     k = (base.select("tk").mapInArrow(kernel_stats, "cnt long, xr long")
          .agg(F.sum("cnt").alias("cnt"), F.expr("bit_xor(xr)").alias("xr"))
          .collect()[0])
+    jvm = fut_jvm.result()
+    pool.shutdown(wait=True)
     base.unpersist()
     parity = (int(jvm["n_grams"]) == int(k["cnt"])
               and int(jvm["xr"] or 0) == int(k["xr"] or 0))
@@ -964,14 +975,21 @@ def q_topk_tokens(spark, sf_dir):
     (MG completeness: true count > n/k is always tracked) with a
     lower-bound estimate within its tracked error.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load(spark, sf_dir, "documents")
     words = docs.select(F.explode(F.split("text", " ")).alias("word")) \
         .withColumn("h", F.xxhash64("word"))
-    blob = build_sketch(words, SketchSpec("topk", dict(k=256), "hash_col", "h"),
-                        fan_in=8)
+    # summary build and exact top-10 are independent scans — overlap (§2.6)
+    with ThreadPoolExecutor(1) as pool:
+        fut_blob = pool.submit(
+            lambda: build_sketch(words,
+                                 SketchSpec("topk", dict(k=256),
+                                            "hash_col", "h"), fan_in=8))
+        exact10 = (words.groupBy("word", "h").agg(F.count("*").alias("cnt"))
+                   .orderBy(F.desc("cnt"), F.asc("word")).limit(10).collect())
+        blob = fut_blob.result()
     sk = sketches.loads(blob)
-    exact10 = (words.groupBy("word", "h").agg(F.count("*").alias("cnt"))
-               .orderBy(F.desc("cnt"), F.asc("word")).limit(10).collect())
     hs = np.array([r["h"] for r in exact10], dtype=np.int64).view(np.uint64)
     est = sk.estimate_hashes(hs)
     rows = [(r["word"], int(r["cnt"]),
@@ -985,12 +1003,18 @@ def q_hll_per_source(spark, sf_dir):
     one HLL per documents.source, checked against exact per-source distincts."""
     from .dist import build_grouped_sketches
 
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = load(spark, sf_dir, "documents").withColumn("h", F.xxhash64("doc_id"))
     spec = SketchSpec("hll", dict(p=14), "hash_col", "h")
     per_source = build_grouped_sketches(docs, "source", spec, n_salts=4)
-    rows = per_source.collect()
-    exact = {r["source"]: r["n"] for r in
-             docs.groupBy("source").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    # grouped build and exact distincts are independent scans — overlap
+    with ThreadPoolExecutor(1) as pool:
+        fut_rows = pool.submit(per_source.collect)
+        exact = {r["source"]: r["n"] for r in
+                 docs.groupBy("source")
+                 .agg(F.countDistinct("doc_id").alias("n")).collect()}
+        rows = fut_rows.result()
     out = []
     for r in rows:
         sk = sketches.loads(bytes(r["payload"]))
