@@ -83,8 +83,10 @@ def main():
         spark.stop()
         return
 
-    # mode == "queries": min-of-reps per query; warm the worker pool first
-    # the same way bench.py does (steady-state is the metric)
+    # mode == "queries": min-of-reps per query. There is NO explicit
+    # warm-up pass: the first rep pays worker-pool/JIT cold costs and
+    # min-of-reps subsumes it — do not switch to mean-of-reps or reps=1
+    # without adding one.
     timings = {}
     for name, fn in qs.items():
         spark.sparkContext.setJobDescription(f"query:{name}")

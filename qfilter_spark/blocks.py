@@ -49,11 +49,19 @@ _U64 = np.uint64
 #: because driver-side queries may encode/decode from concurrent job
 #: threads (each thread's arena is bounded by the same caps).
 _SCRATCH = threading.local()
-_SCRATCH_MAX_BYTES = 64 << 20  # per-buffer cap; larger requests bypass
+_SCRATCH_MAX_BYTES = 64 << 20    # per-buffer cap; larger requests bypass
+_SCRATCH_TOTAL_BYTES = 192 << 20  # per-thread arena budget (matches the
+                                  # probe-cache precedent in dist/probe)
 
 
 def _buf(name: str, count: int, dtype, zero: bool = False) -> np.ndarray:
-    """A reusable scratch array of ``count`` items of ``dtype``."""
+    """A reusable scratch array of ``count`` items of ``dtype``.
+
+    Bounded twice: per buffer (oversized requests bypass the arena) and
+    per thread (past the total budget the LARGEST other buffers are
+    dropped first, so one big encode cannot pin ~15 buffers at their
+    peak for the worker's lifetime).
+    """
     dt = np.dtype(dtype)
     nbytes = count * dt.itemsize
     if nbytes > _SCRATCH_MAX_BYTES:
@@ -63,7 +71,15 @@ def _buf(name: str, count: int, dtype, zero: bool = False) -> np.ndarray:
         store = _SCRATCH.bufs = {}
     raw = store.get(name)
     if raw is None or raw.nbytes < nbytes:
-        raw = store[name] = np.empty(max(nbytes, 1 << 12), dtype=np.uint8)
+        need = max(nbytes, 1 << 12)
+        total = sum(b.nbytes for k, b in store.items() if k != name)
+        while total + need > _SCRATCH_TOTAL_BYTES and len(store) > 1:
+            victim = max((k for k in store if k != name),
+                         key=lambda k: store[k].nbytes, default=None)
+            if victim is None:
+                break
+            total -= store.pop(victim).nbytes
+        raw = store[name] = np.empty(need, dtype=np.uint8)
     out = raw[:nbytes].view(dt)
     if zero:
         out.fill(0)
@@ -104,31 +120,6 @@ def _placement(buckets: np.ndarray, counts: np.ndarray, n_slots: int) -> np.ndar
     t2 = np.maximum.accumulate(b2 - csum2[:-1])
     s2 = t2 + csum2[:-1]
     return s2[k:] - n_slots  # unwrapped start in [bucket_i, bucket_i + 2*n_slots)
-
-
-def _layout(fps: np.ndarray, qbits: int, rbits: int):
-    """Returns (slot_pos, remainders, buckets, counts, starts) for sorted fps."""
-    n_slots = 1 << qbits
-    quot = (fps >> _U64(rbits)).astype(np.int64)
-    rem = fps & _U64((1 << rbits) - 1)
-    # fps is the sorted canonical multiset, so quot is sorted: group by
-    # boundary-diff instead of np.unique (which re-sorts, ~4x slower here)
-    if quot.size:
-        new_group = np.empty(quot.size, dtype=bool)
-        new_group[0] = True
-        np.not_equal(quot[1:], quot[:-1], out=new_group[1:])
-        first = np.flatnonzero(new_group)
-        buckets = quot[first]
-        counts = np.diff(np.append(first, quot.size))
-    else:
-        buckets = np.empty(0, dtype=np.int64)
-        counts = np.empty(0, dtype=np.int64)
-    starts = _placement(buckets, counts, n_slots)
-    intra = np.arange(fps.size, dtype=np.int64) - np.repeat(
-        np.concatenate([[0], np.cumsum(counts)])[:-1], counts)
-    # n_slots is a power of two: & is much cheaper than % on int64
-    pos = (np.repeat(starts, counts) + intra) & (n_slots - 1)
-    return pos, rem, buckets, counts, starts
 
 
 def _pack_rems(rem_by_slot: np.ndarray, rbits: int) -> np.ndarray:
@@ -334,7 +325,10 @@ def decode(payload: bytes, qbits: int, rbits: int, n_items: int) -> np.ndarray:
     p0 = max(0, -int(d.min()))
     empty = (d == -p0) & (run_bits == 0)
     anchor = int(np.argmax(empty))
-    assert empty[anchor], "no empty anchor slot (filter at 100% load)"
+    if not empty[anchor]:  # argmax returns 0 on all-False: check, don't
+        # assert (a -O worker would strip an assert and decode garbage)
+        raise ValueError("no empty anchor slot (corrupt payload or "
+                         "filter at 100% load)")
     shift = anchor + 1
 
     # rotate so the layout is linear (no run crosses the anchor):

@@ -91,6 +91,7 @@ def total_length(spark, input_files: list[str], max_dirs: int = 64) -> int:
     if len(by_parent) > max_dirs:
         return 0
     total = 0
+    matched = 0
     for d in sorted(by_parent):
         names = by_parent[d]
         try:
@@ -98,8 +99,14 @@ def total_length(spark, input_files: list[str], max_dirs: int = 64) -> int:
             for st in fs.listStatus(jpath(spark, d)):
                 if st.getPath().getName() in names:
                     total += int(st.getLen())
+                    matched += 1
         except Exception:
             return 0
+    # any input file missing from its parent's listing (deleted between
+    # planning and sizing, URI-escaped name mismatch, ...) makes the sum
+    # a silent undercount — report unknown instead of a partial total
+    if matched < sum(len(v) for v in by_parent.values()):
+        return 0
     return total
 
 

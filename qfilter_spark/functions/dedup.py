@@ -449,7 +449,11 @@ def _ngram_bucket_count(spark, df: DataFrame) -> int:
     """
     pinned = spark.conf.get("spark.qfilter.ngram.buckets", None)
     if pinned:
-        return int(pinned)
+        n = int(pinned)
+        if n < 1:
+            raise ValueError(
+                f"spark.qfilter.ngram.buckets = {pinned!r}: must be >= 1")
+        return n
     par = spark.sparkContext.defaultParallelism
     try:
         from .. import fsutil

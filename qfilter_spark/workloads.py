@@ -41,6 +41,22 @@ def table_rows(sf_dir: str, name: str) -> int:
     return pq.read_metadata(path).num_rows
 
 
+def first_parquet_row(sf_dir: str, name: str, columns: list[str]):
+    """First row of a parquet table as a pyarrow RecordBatch — driver-side
+    footer+page read, no Spark job (companion to :func:`table_rows` /
+    :func:`table_column_range`; same file-or-dir resolution)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        path = sorted(os.path.join(path, f) for f in os.listdir(path)
+                      if f.endswith(".parquet"))[0]
+    return next(pq.ParquetFile(path).iter_batches(batch_size=1,
+                                                  columns=columns))
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the scan produced
     fewer splits than cores (small single-file inputs). At warehouse scale
@@ -294,18 +310,9 @@ def q_rsqf_growth(spark, sf_dir):
     # numpy XXH64 over a parquet row read driver-side — the round-5
     # .first() was a whole Spark job for one scalar (any inserted event's
     # hash serves: every event row is in the filter)
-    import os as _os
-
-    import pyarrow.parquet as pq
-
     from .hashing import xxh64_u64
 
-    path = f"{sf_dir}/events.parquet"
-    if _os.path.isdir(path):
-        path = sorted(_os.path.join(path, f) for f in _os.listdir(path)
-                      if f.endswith(".parquet"))[0]
-    first = next(pq.ParquetFile(path).iter_batches(
-        batch_size=1, columns=["event_id"]))
+    first = first_parquet_row(sf_dir, "events", ["event_id"])
     ev0 = np.array([first.column(0)[0].as_py()], dtype=np.int64)
     h0 = xxh64_u64(ev0.view(np.uint64))[0]
     had = bool(f.contains_hashes(np.array([h0], dtype=np.uint64))[0])
@@ -527,19 +534,22 @@ def q_rsqf_sharded_insert(spark, sf_dir):
     day2 = li.where("l_orderkey % 2 != 0")
     updated = insert_sharded(build_sharded_filter(day1, spec, n_shards),
                              day2, spec, n_shards, spec).cache()
-    updated.count()  # materialize once; the three consumers below reuse it
-    with ThreadPoolExecutor(2) as pool:  # overlap independent jobs (§2.6)
-        fut_rebuild = pool.submit(
-            lambda: sketches.loads(build_sketch(li, spec, fan_in=8)))
-        fut_stats = pool.submit(
-            lambda: probe_sharded_chunks(li, spec, updated, n_shards, spec)
-            .groupBy().sum("n_probed", "n_contained").collect()[0])
-        a = sketches.loads(sharded_to_single(updated, spec, n_shards))
-        b = fut_rebuild.result()  # one-shot rebuild
-        stats = fut_stats.result()
+    try:
+        updated.count()  # materialize once; the consumers below reuse it
+        with ThreadPoolExecutor(2) as pool:  # overlap independent jobs (§2.6)
+            fut_rebuild = pool.submit(
+                lambda: sketches.loads(build_sketch(li, spec, fan_in=8)))
+            fut_stats = pool.submit(
+                lambda: probe_sharded_chunks(li, spec, updated, n_shards,
+                                             spec)
+                .groupBy().sum("n_probed", "n_contained").collect()[0])
+            a = sketches.loads(sharded_to_single(updated, spec, n_shards))
+            b = fut_rebuild.result()  # one-shot rebuild
+            stats = fut_stats.result()
+    finally:
+        updated.unpersist()
     identical = bool(np.array_equal(a.filter.fingerprints(),
                                     b.filter.fingerprints()))
-    updated.unpersist()
     return _one_row(spark, n_probed=int(stats[0]), n_contained=int(stats[1]),
                     incremental_equals_rebuild=identical)
 
@@ -668,6 +678,7 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
     except Exception:
         pool.shutdown(wait=False)
         raise
+    after = shrunk = None
     try:
         n_split_rows = filt.count()
         after = remove_sharded_split(filt, removals, spec, directory,
@@ -689,9 +700,10 @@ def q_rsqf_split_remove_shrink(spark, sf_dir):
         identical = bool(np.array_equal(a.filter.fingerprints(),
                                         b.filter.fingerprints()))
         stats = fut_stats.result()
-        after.unpersist()
-        shrunk.unpersist()
     finally:
+        for df_ in (after, shrunk):
+            if df_ is not None:
+                df_.unpersist()
         retire_split_filter(filt)
         pool.shutdown(wait=True)
     return _one_row(spark, len_after=int(len_after),
@@ -932,16 +944,6 @@ def q_doc_fingerprint_winnow(spark, sf_dir, n: int = 3, w: int = 4):
         | ((F.size("grams") > 0) & (F.size("grams") < w)
            & (F.size("winnowed") != 1))
         | (F.size(F.array_except("winnowed", "grams")) > 0))
-    # the JVM aggregate and the numpy-kernel aggregate below are
-    # independent consumers of the cached base — overlap them (guide
-    # §2.6; Spark's block-level cache locks dedup the shared compute)
-    pool = ThreadPoolExecutor(1)
-    fut_jvm = pool.submit(lambda: base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("grams")).alias("n_grams"),
-        F.expr("bit_xor(aggregate(grams, 0L, (a, x) -> a ^ x))").alias("xr"),
-        F.sum(bounds_bad.cast("long")).alias("n_bad")).collect()[0])
-
     def kernel_stats(batches):
         cnt, xr = 0, np.uint64(0)
         for batch in batches:
@@ -954,12 +956,24 @@ def q_doc_fingerprint_winnow(spark, sf_dir, n: int = 3, w: int = 4):
                                pa.array([int(np.int64(xr))], pa.int64())],
                               names=["cnt", "xr"])
 
-    k = (base.select("tk").mapInArrow(kernel_stats, "cnt long, xr long")
-         .agg(F.sum("cnt").alias("cnt"), F.expr("bit_xor(xr)").alias("xr"))
-         .collect()[0])
-    jvm = fut_jvm.result()
-    pool.shutdown(wait=True)
-    base.unpersist()
+    # the JVM aggregate and the numpy-kernel aggregate are independent
+    # consumers of the cached base — overlap them (guide §2.6; Spark's
+    # block-level cache locks dedup the shared compute)
+    try:
+        with ThreadPoolExecutor(1) as pool:
+            fut_jvm = pool.submit(lambda: base.agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.size("grams")).alias("n_grams"),
+                F.expr("bit_xor(aggregate(grams, 0L, (a, x) -> a ^ x))")
+                .alias("xr"),
+                F.sum(bounds_bad.cast("long")).alias("n_bad")).collect()[0])
+            k = (base.select("tk")
+                 .mapInArrow(kernel_stats, "cnt long, xr long")
+                 .agg(F.sum("cnt").alias("cnt"),
+                      F.expr("bit_xor(xr)").alias("xr")).collect()[0])
+            jvm = fut_jvm.result()
+    finally:
+        base.unpersist()
     parity = (int(jvm["n_grams"]) == int(k["cnt"])
               and int(jvm["xr"] or 0) == int(k["xr"] or 0))
     return _one_row(spark, n_docs=int(jvm["n_docs"]),
@@ -1383,18 +1397,10 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     Recall for true near-dups at this threshold is ~1-1e-7, so the output
     equals the exact all-pairs oracle.
     """
-    import pyarrow.parquet as pq
-    import os as _os
-
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # dim from the parquet file directly (one-row driver-side read): the
     # round-5 .first() was a whole Spark job for one scalar
-    path = f"{sf_dir}/embeddings.parquet"
-    if _os.path.isdir(path):
-        path = sorted(_os.path.join(path, f) for f in _os.listdir(path)
-                      if f.endswith(".parquet"))[0]
-    first = next(pq.ParquetFile(path).iter_batches(
-        batch_size=1, columns=["embedding"]))
+    first = first_parquet_row(sf_dir, "embeddings", ["embedding"])
     dim = len(first.column(0)[0])
     # the DuckDB oracle embeds planted_near_dup_vectors() at the DEFAULT
     # dim (oracle_sql() has no table context); both sides only agree while
