@@ -561,3 +561,59 @@ def test_bulk_kernels_match_reference_at_explicit_widths(ref, bits, seed):
     removed = ours.remove_hashes(req)
     assert removed == sum(theirs.remove_fingerprint(int(h)) for h in req)
     assert_same_state(ours, theirs)
+
+
+def _ref_shrink(theirs: RefFilter) -> None:
+    theirs.s.ok(f"shrink {theirs.id}")
+
+
+def test_shrink_loop_differential(ref):
+    """shrink_to_fit sequences (reference src/lib.rs:1311-1328): build at
+    big headroom, remove most items, then shrink REPEATEDLY on both sides,
+    comparing capacity/fingerprint-size/full multiset after every step —
+    the remaining reference behavior the r5 harness left uncovered
+    (VERDICT r5 item 6). Also pins the round-6 blocks re-encode on the
+    exact path shrink_sharded drives (repeated one-step shrinks)."""
+    rng = np.random.default_rng(211)
+    ours = Filter.new(8192, 0.01)
+    theirs = RefFilter.new(ref, 8192, 0.01)
+    keys = rng.integers(0, U64, size=6000, dtype=np.uint64)
+    ours.insert_hashes(keys, max_count=1)
+    for h in map(int, keys):
+        theirs.insert_fingerprint(False, h)
+    assert_same_state(ours, theirs)
+    # retract down to a sliver so several shrink steps are possible
+    for h in map(int, keys[:5800]):
+        assert ours.remove_fingerprint(h) == theirs.remove_fingerprint(h)
+    assert_same_state(ours, theirs)
+    for step in range(8):
+        ours.shrink_to_fit()
+        _ref_shrink(theirs)
+        assert_same_state(ours, theirs)
+    # shrink must have actually fired at least once and both sides agree
+    assert ours.capacity() < 8192
+    # survivors still answer identically through the shrunken geometry
+    for h in map(int, keys[5800:5900]):
+        assert ours.contains_fingerprint(h) == theirs.contains_fingerprint(h)
+
+
+def test_remove_collision_false_negative_parity(ref):
+    """The documented remove edge (reference src/lib.rs:1056-1061):
+    removing a never-inserted item whose TRUNCATED fingerprint collides
+    with a stored one deletes the colliding fingerprint on BOTH sides —
+    creating the same false negative, not a divergent state."""
+    ours = Filter.new(1000, 0.01)
+    theirs = RefFilter.new(ref, 1000, 0.01)
+    fs = ours.fingerprint_size()
+    assert fs < 63
+    h = 0x1234_5678_9ABC
+    ours.insert_fingerprint(False, h)
+    theirs.insert_fingerprint(False, h)
+    ghost = h + (1 << fs)  # same fingerprint, different 64-bit hash
+    assert ours.remove_fingerprint(ghost) is True
+    assert theirs.remove_fingerprint(ghost) is True
+    # the collision consumed the stored copy: both sides now report the
+    # ORIGINAL item absent (the documented false negative), identically
+    assert ours.contains_fingerprint(h) is False
+    assert theirs.contains_fingerprint(h) is False
+    assert_same_state(ours, theirs)
