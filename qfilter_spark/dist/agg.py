@@ -238,9 +238,13 @@ def build_grouped_sketches(df, group_col: str, spec: SketchSpec,
         col = tbl.column(spec.col)
         if spec.mode == "values":
             # NULL -> NaN here is correct: the quantile sketches filter NaN,
-            # matching SQL aggregates' ignore-nulls semantics
+            # matching SQL aggregates' ignore-nulls semantics. n_items must
+            # count what the sketch actually absorbed, so NaN rows are
+            # excluded — the hash/ngram modes likewise never inflate the
+            # count with refused/empty rows (ADVICE r5)
             data = col.to_numpy(zero_copy_only=False).astype(np.float64)
             sk.update_values(data)
+            data = data[~np.isnan(data)]
         elif spec.mode == "hash_col":
             data = u64_hashes_from_arrow(col, "grouped sketch build")
             sk.update_hashes(data)

@@ -54,7 +54,18 @@ def lsh_params_for(n_vectors: int, threshold: float = 0.95,
     sized-to-avoid-a-blow-up path must not create a different blow-up.
     A ValueError names the computed geometry and the escape hatches.
     """
-    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    # cosine thresholds live in (-1, 1]; at threshold <= -1 the collision
+    # probability p is 0, which would bypass the pinned-n_tables recall
+    # guard (its 0 < p condition) and divide by log(1 - 0) == 0 in the
+    # auto-sizing below — fail loudly instead (NaN also fails here: every
+    # comparison with it is False)
+    if not -1.0 < threshold <= 1.0:
+        raise ValueError(
+            f"lsh_params_for: threshold {threshold} is outside (-1, 1] — "
+            "cosine similarity thresholds must be > -1 (p would be 0: no "
+            "hyperplane bucket can separate antipodal-or-worse pairs) "
+            "and <= 1")
+    p = 1.0 - math.acos(threshold) / math.pi
     bucket_bits = max(4, math.ceil(
         math.log2(max(n_vectors, 2) / target_bucket_rows)))
     if n_bits is None:
@@ -73,11 +84,20 @@ def lsh_params_for(n_vectors: int, threshold: float = 0.95,
         if per_table >= 1.0:    # threshold == 1.0: exact dups always collide
             n_tables = 1
         else:
-            n_tables = max(1, math.ceil(math.log(1.0 - min_recall)
-                                        / math.log(1.0 - per_table)))
+            # log1p, not log(1 - x): a small per-table probability (low
+            # threshold and/or wide buckets) makes 1.0 - per_table round to
+            # exactly 1.0 and log(1.0) == 0 divides by zero; log1p keeps
+            # the denominator ~-per_table and the table count correctly
+            # explodes into the max_tables ValueError below (ADVICE r5).
+            # per_table can itself underflow to 0.0 (p**n_bits < 5e-324) —
+            # same verdict, reached directly.
+            needed = (math.inf if per_table == 0.0
+                      else math.log(1.0 - min_recall) / math.log1p(-per_table))
+            n_tables = 1 if needed < 1 else (
+                max_tables + 1 if needed > max_tables else math.ceil(needed))
             if n_tables > max_tables:
                 raise ValueError(
-                    f"lsh_params_for: {n_tables} tables needed for recall "
+                    f"lsh_params_for: {'%.3g' % needed} tables needed for recall "
                     f">= {min_recall} at threshold {threshold} with "
                     f"{n_bits}-bit buckets — hyperplane LSH blocking is "
                     "impractical at this threshold/scale; raise the "

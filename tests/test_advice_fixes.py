@@ -164,6 +164,56 @@ def test_retire_split_filter_full_uri(spark, tmp_path):
     assert not d2.exists()
 
 
+# ---------------------------------------------------------------------------
+# round-5 ADVICE findings (fixed in the round-6 optimization round)
+# ---------------------------------------------------------------------------
+
+def test_lsh_params_for_degenerate_threshold():
+    """ADVICE r5: threshold <= -1.0 gives p == 0, which used to raise
+    ZeroDivisionError from log(1.0) in auto table sizing and silently
+    bypassed the pinned-n_tables recall guard; it must be a ValueError
+    naming the valid range, for pinned and auto geometries alike."""
+    from qfilter_spark.functions import ann
+
+    for bad in (-1.0, -2.0, float("nan"), 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            ann.lsh_params_for(10**6, bad)
+        with pytest.raises(ValueError, match="threshold"):
+            ann.lsh_params_for(10**6, bad, n_tables=16)
+    # boundary values stay accepted
+    assert ann.lsh_params_for(10**6, 1.0)[0] == 1
+    # a valid-range-but-tiny p used to hit the SAME ZeroDivisionError via
+    # 1.0 - p**n_bits rounding to 1.0; log1p routes it to the loud
+    # impractical-geometry ValueError instead
+    with pytest.raises(ValueError, match="impractical"):
+        ann.lsh_params_for(10**6, -0.999)
+    # and the usual auto geometry is unchanged by the log1p rewrite
+    assert ann.lsh_params_for(10**6, 0.95) == (22, 10)
+
+
+def test_grouped_values_n_items_excludes_nulls(spark):
+    """ADVICE r5: values-mode build_grouped_sketches must report n_items as
+    the values actually sketched — NULL rows become NaN and are filtered by
+    the quantile kernels, so they must not inflate the count (hash/ngram
+    modes never count refused/empty rows either)."""
+    from pyspark.sql import functions as F
+
+    from qfilter_spark.dist.agg import build_grouped_sketches
+
+    df = (spark.range(0, 200)
+          .select(F.concat(F.lit("g"), (F.col("id") % 2).cast("string"))
+                  .alias("g"),
+                  F.when(F.col("id") % 5 != 0, F.col("id").cast("double"))
+                  .alias("v")))
+    spec = SketchSpec("tdigest", dict(compression=100.0), "values", "v")
+    rows = {r["g"]: r for r in
+            build_grouped_sketches(df, "g", spec, n_salts=2).collect()}
+    # 100 rows per group; ids divisible by 5 are NULL -> 20 NULLs per group
+    for g in ("g0", "g1"):
+        assert rows[g]["n_items"] == 80
+        assert sketches.loads(bytes(rows[g]["payload"])).n == 80
+
+
 def test_resume_override_rerecords_fan_in(spark, corpus_df, tmp_path):
     """ADVICE r4: resuming with an explicit fan_in override must become
     the manifest's truth, so a LATER resume regroups the same way."""
